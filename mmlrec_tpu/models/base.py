@@ -1,0 +1,128 @@
+"""Model base: embedding front-end + multi-head epilogue.
+
+Equivalent surface to the reference's ``BaseModel`` (model/basemodel.py:69-650)
+minus the training loop, which lives in train/trainer.py.  Every model is a
+flax module called as::
+
+    probs = model.apply(variables, ids, dense, domain_mask, train=...)
+
+with ``ids: int32 [B, n_sparse]``, ``dense: float32 [B, n_dense]``,
+``domain_mask: [B, D] or None`` and output ``[B, num_tasks]`` probabilities
+(reference forward contract, e.g. model/mmoe.py:65-119).
+
+The never-invoked wide/linear term (reference basemodel.py:14-66; all models
+pass ``linear_feature_columns=[]``) is intentionally not replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..config import ExperimentConfig
+from ..features import FeatureLayout
+from ..ops.embedding import EmbeddingCollection
+from ..ops.layers import PredictionHeads, sequence_pooling
+
+
+def overwrite(prev, new):
+    """sow() reducer keeping only the latest value."""
+    return new
+
+
+class RecModel(nn.Module):
+    """Base for all 14 model families."""
+
+    layout: FeatureLayout
+    cfg: ExperimentConfig
+    init_std: float = 1e-4
+
+    # ---- config shortcuts -------------------------------------------------
+    @property
+    def mc(self):
+        return self.cfg.model_config
+
+    @property
+    def dc(self):
+        return self.cfg.data_config
+
+    @property
+    def task_name(self) -> str:
+        return self.mc.task_name
+
+    @property
+    def num_tasks(self) -> int:
+        return self.cfg.num_tasks
+
+    @property
+    def num_domains(self) -> int:
+        return self.dc.num_domains
+
+    @property
+    def task_types(self) -> Tuple[str, ...]:
+        # reference basemodel.py:95 + per-regime num_tasks (:96-102); MSL
+        # configs list task_types explicitly when D != 2.
+        tt = tuple(self.mc.task_types)
+        if len(tt) != self.num_tasks:
+            tt = tuple(["binary"] * self.num_tasks)
+        return tt
+
+    @property
+    def input_dim(self) -> int:
+        return self.layout.input_dim
+
+    # ---- shared submodules ------------------------------------------------
+    def _make_embeddings(self) -> EmbeddingCollection:
+        return EmbeddingCollection(
+            layout=self.layout, init_std=self.init_std, name="embeddings"
+        )
+
+    def embed_inputs(self, embeddings, ids, dense):
+        """Return (dnn_input [B, input_dim], sparse_emb [B, F, D_emb]).
+
+        Mirrors input_from_feature_columns + combined_dnn_input
+        (reference basemodel.py:461-487, model/utils.py:434-446): flattened
+        sparse embeddings ++ pooled varlen embeddings ++ dense values.
+        """
+        parts = []
+        sparse_emb = None
+        if self.layout.sparse_slots:
+            sparse_emb = embeddings.sparse_embeddings(ids[:, : len(self.layout.sparse_slots)])
+            parts.append(sparse_emb.reshape(sparse_emb.shape[0], -1))
+        for slot in self.layout.varlen_slots:
+            seq_ids = ids[:, slot.start : slot.end]
+            seq_emb = embeddings.varlen_embedding(slot.feature.embedding_name, seq_ids)
+            if slot.length_slot is not None:
+                lengths = ids[:, slot.length_slot]
+                mask = (
+                    jnp.arange(slot.feature.maxlen)[None, :] < lengths[:, None]
+                )
+            else:
+                mask = seq_ids != 0  # reference model/utils.py:454
+            parts.append(sequence_pooling(seq_emb, mask, mode=slot.feature.combiner))
+        if self.layout.num_dense_dims:
+            parts.append(dense)
+        if not parts:
+            raise ValueError("dnn_feature_columns is null!")
+        return jnp.concatenate(parts, axis=-1), sparse_emb
+
+    def make_heads(self) -> PredictionHeads:
+        return PredictionHeads(task_types=self.task_types, name="out")
+
+    def apply_domain_mask(self, probs: jnp.ndarray, domain_mask) -> jnp.ndarray:
+        """Per-head domain gating (reference epilogue, e.g. model/mmoe.py:101-106).
+
+        msl: head i gated by domain i; mtmsl: head i by domain i % D.
+        No-op when domain_mask is None (the reference's effective runtime
+        path, SURVEY §2.4.1).
+        """
+        if domain_mask is None:
+            return probs
+        if self.task_name == "msl":
+            return probs * domain_mask
+        if self.task_name == "mtmsl":
+            idx = jnp.arange(probs.shape[-1]) % self.num_domains
+            return probs * jnp.take(domain_mask, idx, axis=1)
+        return probs

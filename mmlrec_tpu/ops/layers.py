@@ -1,0 +1,418 @@
+"""Core NN primitives, re-designed for TPU/XLA.
+
+The reference builds everything from Python loops over ``nn.ModuleList``s of
+small ``nn.Linear``s (e.g. MMoE's expert loop, model/mmoe.py:71-75; per-task
+towers, :91-99).  On TPU that shape of program produces many small matmuls.
+Here every "list of K parallel layers" is a single *stacked* parameter
+``[K, in, out]`` contracted with one einsum, so XLA lowers it to one large
+(batched) MXU matmul.
+
+Reference parity notes are cited per class.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .initializers import (
+    eye_init,
+    normal_init,
+    torch_linear_bias_init,
+    torch_linear_kernel_init,
+    xavier_normal_init,
+)
+
+Dtype = jnp.dtype
+
+
+def activation_fn(name: Optional[str]) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Stateless activations (reference model/utils.py:10-37).
+
+    ``prelu``/``dice`` carry parameters and are handled inside MLP.
+    """
+    if name is None or name == "" or (isinstance(name, str) and name.lower() == "linear"):
+        return lambda x: x
+    name = name.lower()
+    if name == "relu":
+        return jax.nn.relu
+    if name == "sigmoid":
+        return jax.nn.sigmoid
+    raise NotImplementedError(f"activation {name!r}")
+
+
+class _PReLU(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", lambda k, s: 0.25 * jnp.ones(s), (1,))
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+class MLP(nn.Module):
+    """Multi-layer perceptron (reference ``DNN``, model/utils.py:92-161).
+
+    kernel init normal(0, init_std) (reference :140-142); bias keeps torch's
+    default U(+-1/sqrt(fan_in)).  BatchNorm before activation when
+    ``use_bn`` (torch BatchNorm1d: momentum 0.1 -> flax momentum 0.9,
+    eps 1e-5).
+    """
+
+    hidden_units: Sequence[int]
+    activation: Optional[str] = "relu"
+    dropout_rate: float = 0.0
+    use_bn: bool = False
+    init_std: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        if len(self.hidden_units) == 0:
+            raise ValueError("hidden_units is empty!!")
+        for i, units in enumerate(self.hidden_units):
+            fan_in = x.shape[-1]
+            x = nn.Dense(
+                units,
+                kernel_init=normal_init(self.init_std),
+                bias_init=torch_linear_bias_init(fan_in),
+                name=f"dense_{i}",
+            )(x)
+            if self.use_bn:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    name=f"bn_{i}",
+                )(x)
+            if self.activation is not None and self.activation != "":
+                if self.activation.lower() == "prelu":
+                    x = _PReLU(name=f"prelu_{i}")(x)
+                else:
+                    x = activation_fn(self.activation)(x)
+            if self.dropout_rate > 0:
+                x = nn.Dropout(rate=self.dropout_rate, deterministic=not train)(x)
+        return x
+
+
+class StackedDense(nn.Module):
+    """K parallel Dense layers as one einsum.
+
+    Input [B, in] (broadcast to every stack member) or [B, K, in]
+    (per-member input).  Output [B, K, out].
+
+    Replaces the reference's ``nn.ModuleList([nn.Linear(...)] * K)`` pattern
+    (e.g. model/mmoe.py:39-41, :52-55).  ``kernel_init`` defaults to the
+    torch nn.Linear default since the reference does not re-init these.
+    """
+
+    stack: int
+    features: int
+    use_bias: bool = True
+    kernel_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        kinit = self.kernel_init or torch_linear_kernel_init()
+        kernel = self.param("kernel", kinit, (self.stack, in_dim, self.features))
+        if x.ndim == 2:
+            y = jnp.einsum("bi,kio->bko", x, kernel)
+        elif x.ndim == 3:
+            y = jnp.einsum("bki,kio->bko", x, kernel)
+        else:
+            raise ValueError(f"StackedDense expects rank 2/3 input, got {x.shape}")
+        if self.use_bias:
+            binit = self.bias_init or torch_linear_bias_init(in_dim)
+            bias = self.param("bias", binit, (self.stack, self.features))
+            y = y + bias[None]
+        return y
+
+
+class StackedMLP(nn.Module):
+    """K parallel MLPs (reference: lists of ``DNN``s, e.g. MMoE experts
+    model/mmoe.py:27-29) as stacked einsums.
+
+    BatchNorm statistics are per (stack, feature) pair, matching K
+    independent ``BatchNorm1d``s.
+    """
+
+    stack: int
+    hidden_units: Sequence[int]
+    activation: Optional[str] = "relu"
+    dropout_rate: float = 0.0
+    use_bn: bool = False
+    init_std: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        if len(self.hidden_units) == 0:
+            raise ValueError("hidden_units is empty!!")
+        for i, units in enumerate(self.hidden_units):
+            fan_in = x.shape[-1]
+            x = StackedDense(
+                stack=self.stack,
+                features=units,
+                kernel_init=normal_init(self.init_std),
+                bias_init=torch_linear_bias_init(fan_in),
+                name=f"dense_{i}",
+            )(x)
+            if self.use_bn:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    axis=(-2, -1),
+                    name=f"bn_{i}",
+                )(x)
+            if self.activation is not None and self.activation != "":
+                if self.activation.lower() == "prelu":
+                    x = _PReLU(name=f"prelu_{i}")(x)
+                else:
+                    x = activation_fn(self.activation)(x)
+            if self.dropout_rate > 0:
+                x = nn.Dropout(rate=self.dropout_rate, deterministic=not train)(x)
+        return x
+
+
+class PredictionHeads(nn.Module):
+    """Per-task output layer (reference ``PredictionLayer``,
+    model/utils.py:225-248, instantiated per task as ``self.out``).
+
+    Takes logits [B, T]; adds a learned scalar bias per task (init zero) and
+    applies sigmoid to binary heads.
+    """
+
+    task_types: Tuple[str, ...]
+
+    @nn.compact
+    def __call__(self, logits):
+        T = logits.shape[-1]
+        assert T == len(self.task_types), (T, self.task_types)
+        bias = self.param("bias", nn.initializers.zeros, (T,))
+        out = logits + bias[None]
+        is_binary = jnp.asarray(
+            [1.0 if t == "binary" else 0.0 for t in self.task_types], out.dtype
+        )
+        return is_binary * jax.nn.sigmoid(out) + (1.0 - is_binary) * out
+
+
+class CrossStitchLayer(nn.Module):
+    """Learned (sum(D_i) x sum(D_i)) mixing matrix, identity-init
+    (reference model/cross_stitch.py:7-27).  Input/output [B, T, F]."""
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, f = x.shape
+        w = self.param("cross_stitch_weight", eye_init(), (t * f, t * f))
+        mixed = jnp.reshape(x, (b, t * f)) @ w
+        return jnp.reshape(mixed, (b, t, f))
+
+
+class SharedSpecificDense(nn.Module):
+    """STAR's shared (x) specific FCN layer (reference
+    ``SharedSpecificLinear``, model/utils.py:163-223).
+
+    effective_weight[d] = specific[d] * shared ; effective_bias[d] =
+    specific_bias[d] + shared_bias.  Computes ALL domains at once:
+    [B, in] -> [B, D, out] or [B, D, in] -> [B, D, out].
+
+    Unlike the reference — whose per-domain weights live in plain Python
+    lists so only the last domain's tensors are registered/trained
+    (model/utils.py:181-191, SURVEY §2.4.2) — all domain parameters here are
+    proper pytree leaves.  ``freeze_ref_faithful`` reproduces the reference
+    bug by stopping gradients through domains 0..D-2.
+    """
+
+    num_domains: int
+    features: int
+    use_shared: bool = True
+    use_bias: bool = True
+    freeze_ref_faithful: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        # torch kaiming_uniform(a=sqrt(5)) on an (in,out) tensor uses torch's
+        # fan_in == out_features; we use the conventional 1/sqrt(in).
+        kinit = torch_linear_kernel_init()
+        binit = torch_linear_bias_init(in_dim)
+        spec_w = self.param("specific_kernel", kinit, (self.num_domains, in_dim, self.features))
+        spec_b = (
+            self.param("specific_bias", binit, (self.num_domains, self.features))
+            if self.use_bias
+            else None
+        )
+        if self.freeze_ref_faithful and self.num_domains > 1:
+            frozen = jax.lax.stop_gradient(spec_w[: self.num_domains - 1])
+            spec_w = jnp.concatenate([frozen, spec_w[self.num_domains - 1 :]], axis=0)
+            if spec_b is not None:
+                frozen_b = jax.lax.stop_gradient(spec_b[: self.num_domains - 1])
+                spec_b = jnp.concatenate([frozen_b, spec_b[self.num_domains - 1 :]], axis=0)
+        if self.use_shared:
+            shared_w = self.param("shared_kernel", kinit, (in_dim, self.features))
+            weight = spec_w * shared_w[None]
+        else:
+            weight = spec_w
+        if x.ndim == 2:
+            y = jnp.einsum("bi,dio->bdo", x, weight)
+        else:
+            y = jnp.einsum("bdi,dio->bdo", x, weight)
+        if self.use_bias:
+            bias = spec_b
+            if self.use_shared:
+                shared_b = self.param("shared_bias", binit, (self.features,))
+                bias = bias + shared_b[None]
+            y = y + bias[None]
+        return y
+
+
+class GateNN(nn.Module):
+    """PEPNet gate: Linear -> (BN) -> act -> (dropout) -> Linear -> 2*sigmoid
+    (reference model/pepnet.py:8-32)."""
+
+    output_dim: int
+    hidden_dim: Optional[int] = None
+    hidden_activation: str = "relu"
+    dropout_rate: float = 0.0
+    batch_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        hidden = self.hidden_dim or self.output_dim
+        fan_in = x.shape[-1]
+        x = nn.Dense(
+            hidden,
+            kernel_init=torch_linear_kernel_init(),
+            bias_init=torch_linear_bias_init(fan_in),
+            name="dense_0",
+        )(x)
+        if self.batch_norm:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+        x = activation_fn(self.hidden_activation)(x)
+        if self.dropout_rate > 0:
+            x = nn.Dropout(rate=self.dropout_rate, deterministic=not train)(x)
+        x = nn.Dense(
+            self.output_dim,
+            kernel_init=torch_linear_kernel_init(),
+            bias_init=torch_linear_bias_init(hidden),
+            name="dense_1",
+        )(x)
+        return 2.0 * jax.nn.sigmoid(x)
+
+
+class SNRGate(nn.Module):
+    """SNR / MSSM routing layer (reference model/snr_trans.py:9-50 and
+    model/mssm.py:9-59).
+
+    Per (output j, input i) connection: a learned ``units x units`` transform
+    scaled by a hard-concrete-style gate
+        z = clip(sigmoid(log u - log(1-u) + log(alpha)/beta) * (eps - gamma)
+                 + gamma, 0, 1)
+    with beta=0.9, gamma=-0.1, eps=1.1.  ``elementwise=False`` -> SNR (scalar
+    z per connection, u shaped [out, in]); ``elementwise=True`` -> MSSM
+    (z per feature, u shaped [out, in, units]).
+
+    Input [B, in, units] -> output [B, out, units] via one einsum (the
+    reference loops over out x in with per-pair matmuls,
+    model/snr_trans.py:45-50).
+
+    ``freeze_*_ref_faithful`` reproduce the reference's unregistered-param
+    bugs (SURVEY §2.4.2): SNR registers alpha+u but not trans_matrix; MSSM
+    registers only alpha.
+    """
+
+    input_dim: int
+    output_dim: int
+    units: int
+    elementwise: bool = False
+    beta: float = 0.9
+    gamma: float = -0.1
+    epsilon: float = 1.1
+    e: float = 1e-8
+    freeze_trans_ref_faithful: bool = False
+    freeze_u_ref_faithful: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        assert x.ndim == 3 and x.shape[1] == self.input_dim and x.shape[2] == self.units
+        alpha = self.param(
+            "alpha", lambda k, s: jax.random.uniform(k, s), (1,)
+        )  # torch.rand init (snr_trans.py:13)
+        u_shape = (
+            (self.output_dim, self.input_dim, self.units)
+            if self.elementwise
+            else (self.output_dim, self.input_dim)
+        )
+        u = self.param(
+            "u",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, self.e, 1.0 - self.e),
+            u_shape,
+        )
+        trans = self.param(
+            "trans",
+            xavier_normal_init(),
+            (self.output_dim, self.input_dim, self.units, self.units),
+        )
+        if self.freeze_u_ref_faithful:
+            u = jax.lax.stop_gradient(u)
+        if self.freeze_trans_ref_faithful:
+            trans = jax.lax.stop_gradient(trans)
+
+        s = jax.nn.sigmoid(
+            jnp.log(u) - jnp.log1p(-u) + jnp.log(alpha[0]) / self.beta
+        )
+        s_ = s * (self.epsilon - self.gamma) + self.gamma
+        z = jnp.clip(s_, 0.0, 1.0)
+
+        if self.elementwise:
+            # z: [out, in, units] gates the *output* features: fold over v.
+            tz = trans * z[:, :, None, :]
+        else:
+            tz = trans * z[:, :, None, None]
+        return jnp.einsum("bju,ijuv->biv", x, tz)
+
+
+class AITMAttention(nn.Module):
+    """AITM's 2-token single-head attention transfer
+    (reference model/aitm.py:44-49, 85-94)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, p, q):
+        # p: transferred info from previous task [B, F]; q: own feature [B, F]
+        x = jnp.stack([p, q], axis=1)  # [B, 2, F]
+        dense = lambda name: nn.Dense(
+            self.dim,
+            kernel_init=torch_linear_kernel_init(),
+            bias_init=torch_linear_bias_init(self.dim),
+            name=name,
+        )
+        V = dense("h1")(x)
+        K = dense("h2")(x)
+        Q = dense("h3")(x)
+        att = jax.nn.softmax(
+            jnp.sum(K * Q, axis=2, keepdims=True) / jnp.sqrt(float(self.dim)), axis=1
+        )
+        return jnp.sum(att * V, axis=1)
+
+
+def sequence_pooling(seq_emb, mask, mode: str = "mean", eps: float = 1e-8):
+    """Masked pooling over a behaviour sequence (reference
+    ``SequencePoolingLayer``, model/utils.py:258-326).
+
+    seq_emb: [B, T, E]; mask: [B, T] (1 = valid). Returns [B, E].
+    """
+    mask = mask.astype(seq_emb.dtype)
+    if mode == "max":
+        hist = seq_emb - (1.0 - mask[..., None]) * 1e9
+        return jnp.max(hist, axis=1)
+    summed = jnp.sum(seq_emb * mask[..., None], axis=1)
+    if mode == "sum":
+        return summed
+    if mode == "mean":
+        lengths = jnp.sum(mask, axis=1, keepdims=True)
+        return summed / (lengths + eps)
+    raise ValueError(f"pooling mode {mode!r} must be sum/mean/max")
