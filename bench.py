@@ -1,0 +1,88 @@
+"""Benchmark: training throughput of the flagship model.
+
+Measures examples/s/chip for full jitted train steps (forward + loss +
+backward + optimizer) of MMoE on AliExpress-MSL shapes
+(BASELINE.json metric: "examples/s/chip on AliExpress MSL"; schema from
+reference configs_msl/config_AE.json — 16 sparse x emb 8 + 61 dense,
+batch 4096).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` compares against the reference implementation's measured
+throughput on this machine's CPU torch build recorded in BASELINE.md
+(the reference publishes no numbers; SURVEY §6).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Reference (torch, this machine's CPU — the only hardware the reference can
+# use here) MMoE/AE-shape throughput, measured by benchmarks/bench_reference_torch.py.
+REFERENCE_EXAMPLES_PER_S = 97000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mmlrec_tpu.models import get_model
+    from mmlrec_tpu.synthetic import aliexpress_like_config, make_data
+    from mmlrec_tpu.train import Trainer
+
+    batch_size = 4096
+    cfg = aliexpress_like_config("mmoe", batch_size=batch_size)
+    layout, x, y, _ = make_data(cfg, n=batch_size, seed=0)
+    model = get_model("mmoe", layout, cfg)
+    trainer = Trainer(model, seed=0).compile()
+
+    ids_np, dense_np = trainer.pack_inputs(x)
+    y2 = trainer._prepare_y(y)
+    dmask = trainer._domain_mask_from(x)
+    ids = jnp.asarray(ids_np)
+    dense = jnp.asarray(dense_np)
+    yb = jnp.asarray(y2)
+    dm = jnp.asarray(dmask) if dmask is not None else None
+    weight = jnp.ones((batch_size,), jnp.float32)
+
+    trainer.variables = trainer._init_variables(ids_np[:2], dense_np[:2])
+    state = {
+        "params": trainer.variables["params"],
+        "batch_stats": trainer.variables.get("batch_stats", {}),
+        "opt_state": trainer.tx.init(trainer.variables["params"]),
+        "rng": jax.random.PRNGKey(1),
+    }
+    step = trainer._make_train_step()
+    batch = (ids, dense, yb, dm, weight)
+
+    # warmup / compile
+    for _ in range(3):
+        state, *_ = step(state, batch)
+    jax.block_until_ready(state["params"])
+
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, *_ = step(state, batch)
+    jax.block_until_ready(state["params"])
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    examples_per_s = batch_size * iters / dt
+    per_chip = examples_per_s / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "train_throughput_mmoe_aliexpress_msl",
+                "value": round(per_chip, 1),
+                "unit": "examples/s/chip",
+                "vs_baseline": round(per_chip / REFERENCE_EXAMPLES_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Experiment driver (reference main.py:71-181).
+
+Usage mirrors the reference:
+
+    python main.py --config configs_mtl/config_census.json \
+        [--model_name mmoe --run true] [--seed S] [--seeds 0,2,4,8] \
+        [--data_parallel N] [--model_parallel M] [--synthetic]
+
+Differences: --device is unnecessary (JAX picks TPU/CPU); --is_parallel is
+replaced by real mesh flags; --synthetic trains on generated data with the
+config's schema shapes (the reference datasets are external downloads,
+reference README.md:31-43); unknown model names raise instead of returning
+None.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+
+import numpy as np
+
+from mmlrec_tpu.config import ExperimentConfig
+from mmlrec_tpu.models import get_model
+from mmlrec_tpu.train import Trainer
+from mmlrec_tpu.train.metrics import masked_test_metrics
+from mmlrec_tpu.utils import append_result_row, set_seed
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seed", type=int, default=None,
+                   help="single seed; default runs the reference seed suite")
+    p.add_argument("--seeds", type=str, default="0,2,4,8",
+                   help="comma-separated seed list (reference main.py:85)")
+    p.add_argument("--run", type=bool, default=False)
+    p.add_argument("--model_name", type=str, default="")
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="data mesh axis size (0 = no mesh)")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="model (embedding-shard) mesh axis size")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use synthetic data with the config's schema")
+    p.add_argument("--synthetic_rows", type=int, default=20000)
+    return p.parse_args()
+
+
+def load_dataset(cfg: ExperimentConfig, args):
+    if args.synthetic:
+        from mmlrec_tpu.data import CTRDataset, get_test_mask
+        from mmlrec_tpu.synthetic import make_data
+
+        n_train, n_test = args.synthetic_rows, max(args.synthetic_rows // 4, 1000)
+        layout, x_tr, y_tr, _ = make_data(cfg, n=n_train, seed=0)
+        _, x_te, y_te, _ = make_data(cfg, n=n_test, seed=1)
+        dc = cfg.data_config
+        test_mask = None
+        if cfg.model_config.task_name in ("msl", "mtmsl") and dc.mask_column:
+            test_mask = get_test_mask(x_te[dc.mask_column], dc.mask_values, dc.num_domains)
+        return CTRDataset(
+            train_input=x_tr, test_input=x_te, y_train=y_tr, y_test=y_te,
+            test_mask=test_mask, feature_columns=layout.feature_columns,
+            layout=layout,
+        )
+    from mmlrec_tpu.data import ctrdataset
+
+    return ctrdataset(cfg)
+
+
+def main():
+    args = parse_args()
+    seeds = [args.seed] if args.seed is not None else [int(s) for s in args.seeds.split(",")]
+
+    mesh = None
+    if args.data_parallel:
+        from mmlrec_tpu.parallel import create_mesh
+
+        mesh = create_mesh(data=args.data_parallel, model=args.model_parallel)
+
+    for seed in seeds:
+        print("seed:", seed)
+        set_seed(seed)
+        cfg = ExperimentConfig.from_file(args.config)
+        if args.run and args.model_name:
+            cfg.model_config.model_name = args.model_name
+        mc, dc, oc, tc, sc = (
+            cfg.model_config, cfg.data_config, cfg.optim_config,
+            cfg.training_config, cfg.save_config,
+        )
+        print(cfg.to_dict())
+
+        ds = load_dataset(cfg, args)
+        model = get_model(mc.model_name, ds.layout, cfg)
+        trainer = Trainer(model, seed=seed, mesh=mesh).compile(
+            optimizer=oc.optimizer, loss=oc.loss, metrics=oc.metrics
+        )
+        trainer.fit(
+            ds.train_input,
+            ds.y_train,
+            batch_size=tc.train_batch_size,
+            epochs=tc.epochs,
+            validation_data=(ds.test_input, ds.y_test),
+        )
+
+        if sc.save_layer_output:
+            trainer.update_save()
+            pred_ans, layer_output_dict = trainer.predict(ds.test_input, tc.test_batch_size)
+            for key, value in layer_output_dict.items():
+                file_name = (
+                    dc.layer_output_path
+                    + f"{mc.model_name}_l2{mc.l2_reg_dnn}_{key}.pkl"
+                )
+                with open(file_name, "wb") as f:
+                    pickle.dump(value, f)
+        else:
+            pred_ans = trainer.predict(ds.test_input, tc.test_batch_size)
+
+        y_test = trainer._prepare_y(ds.y_test)
+        results = masked_test_metrics(
+            y_test, pred_ans, mc.task_name, dc.num_domains, ds.test_mask,
+            trainer.model.task_types,
+        )
+        model_type = f"{dc.data_name}_{mc.task_name}_{mc.model_name}_{seed}"
+        row = {"type": model_type, **results}
+        if trainer.throughput_examples_per_s:
+            row["examples_per_s"] = round(trainer.throughput_examples_per_s, 1)
+        print(row)
+        append_result_row(dc.test_result_path, row)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,576 @@
+"""Keras-style training engine (compile / fit / evaluate / predict).
+
+TPU-native replacement for the reference's ``BaseModel`` fit loop
+(model/basemodel.py:135-457).  Key differences by design:
+
+* The whole dataset lives in device memory as packed int32/float32 arrays;
+  each step is ONE jitted function (forward + loss + backward + optax
+  update) with a fixed batch shape — the final partial batch is padded and
+  zero-weighted instead of triggering a recompile.
+* Metrics run once per epoch on gathered predictions instead of the
+  reference's per-batch sklearn host syncs (basemodel.py:316-331).
+* MSL/MTMSL loss masking is configurable: ``model_config.masked_loss=False``
+  (default) reproduces the reference's *effective* unmasked training (its
+  always-true-conditional bug nulls domain_mask, basemodel.py:265-266);
+  True enables the intended masked semantics (:273-282).
+* Early stopping on validation AUC with best-params snapshot mirrors
+  basemodel.py:342-347, :368-369; the snapshot is an on-device pytree
+  reference rather than a deepcopy.
+* When a ``jax.sharding.Mesh`` is provided, parameters/batches are placed
+  with NamedShardings (embedding vocab over the 'model' axis, batch over
+  'data'); XLA inserts the gradient psums and gather collectives.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import ExperimentConfig
+from ..models.base import RecModel
+from .cka import cka_domain_loss
+from .losses import l2_regularization, multitask_loss
+from .metrics import get_metric_fns, regime_eval
+from .optimizers import get_optimizer
+from .pcgrad import pcgrad_merge
+
+
+def get_mask(domain_values, mask_values, num_domains) -> np.ndarray:
+    """[B] domain column -> one-hot [B, num_domains]
+    (reference model/utils.py:639-645)."""
+    dv = np.asarray(domain_values).reshape(-1, 1)
+    mv = np.asarray(mask_values).reshape(1, -1)
+    return (dv == mv).astype(np.float32)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: RecModel,
+        seed: int = 0,
+        mesh=None,
+    ):
+        self.model = model
+        self.cfg: ExperimentConfig = model.cfg
+        self.layout = model.layout
+        self.seed = seed
+        self.mesh = mesh
+        self.variables = None  # {'params': ..., 'batch_stats': ...}
+        self.best_variables = None
+        self._save_layer_output = False
+        self._step_fns: Dict[Tuple, Any] = {}
+        self.history: List[Dict[str, float]] = []
+        self.throughput_examples_per_s: Optional[float] = None
+
+        mc = self.cfg.model_config
+        self.task_name = mc.task_name
+        self.num_tasks = self.cfg.num_tasks
+        self.num_domains = self.cfg.data_config.num_domains
+        self.model_name = mc.model_name
+        self.is_pcgrad = self.model_name == "pcg"
+
+    # ------------------------------------------------------------------
+    # compile
+    # ------------------------------------------------------------------
+    def compile(self, optimizer=None, loss=None, metrics=None):
+        """Bind optimizer/loss/metrics (reference basemodel.py:557-567)."""
+        oc = self.cfg.optim_config
+        opt_name = optimizer or oc.optimizer
+        self.tx = (
+            get_optimizer(opt_name, oc.lr)
+            if isinstance(opt_name, str)
+            else opt_name
+        )
+        loss = loss if loss is not None else oc.loss
+        self.loss_names = [loss] if isinstance(loss, str) else list(loss)
+        self.metric_fns = get_metric_fns(metrics if metrics is not None else oc.metrics)
+        return self
+
+    # ------------------------------------------------------------------
+    # input packing
+    # ------------------------------------------------------------------
+    def pack_inputs(self, x) -> Tuple[np.ndarray, np.ndarray]:
+        """dict {feature_name: array/Series} -> (ids [N,S] int32,
+        dense [N,Dd] float32) in layout order."""
+        if isinstance(x, tuple) and len(x) == 2:
+            return np.asarray(x[0], np.int32), np.asarray(x[1], np.float32)
+        n = None
+        id_cols = np.zeros((0, 0), np.int32)
+        ids_parts: List[np.ndarray] = []
+        for slot in self.layout.sparse_slots:
+            col = np.asarray(x[slot.feature.name]).reshape(-1, 1)
+            ids_parts.append(col.astype(np.int32))
+            n = len(col)
+        for slot in self.layout.varlen_slots:
+            seq = np.asarray(x[slot.feature.name]).reshape(n if n else -1, -1)
+            ids_parts.append(seq.astype(np.int32))
+            if slot.feature.length_name is not None:
+                ids_parts.append(
+                    np.asarray(x[slot.feature.length_name]).reshape(-1, 1).astype(np.int32)
+                )
+        dense_parts: List[np.ndarray] = []
+        for slot in self.layout.dense_slots:
+            dense_parts.append(
+                np.asarray(x[slot.feature.name], np.float32).reshape(-1, slot.feature.dimension)
+            )
+        ids = np.concatenate(ids_parts, axis=1) if ids_parts else np.zeros((n or 0, 0), np.int32)
+        dense = (
+            np.concatenate(dense_parts, axis=1)
+            if dense_parts
+            else np.zeros((len(ids), 0), np.float32)
+        )
+        return ids, dense
+
+    def _domain_mask_from(self, x) -> Optional[np.ndarray]:
+        dc = self.cfg.data_config
+        if self.task_name in ("msl", "mtmsl") and dc.mask_column:
+            if isinstance(x, dict) and dc.mask_column in x:
+                vals = np.asarray(x[dc.mask_column])
+                return get_mask(vals, dc.mask_values, dc.num_domains)
+        return None
+
+    def _prepare_y(self, y) -> np.ndarray:
+        y = np.asarray(y, np.float32)
+        if y.ndim == 1:
+            y = y.reshape(-1, 1)
+        T = self.num_tasks
+        if self.model_name in ("escm", "escm_dr"):
+            return y  # [N, 2] (ctr, cvr labels)
+        if y.shape[1] != T and T % y.shape[1] == 0:
+            # replicate each label column across its domains: [l1, l2] with
+            # D domains -> [l1]*D ++ [l2]*D, the reference's duplicated
+            # label_columns layout (configs_mtmsl/config_amazon.json:10-16).
+            y = np.repeat(y, T // y.shape[1], axis=1)
+        return y
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+    def _init_variables(self, ids, dense):
+        rng = jax.random.PRNGKey(self.seed)
+        dm = (
+            jnp.ones((ids.shape[0], self.num_domains), jnp.float32)
+            if self.task_name in ("msl", "mtmsl")
+            else None
+        )
+        variables = self.model.init(rng, jnp.asarray(ids), jnp.asarray(dense), dm, train=False)
+        variables = dict(variables)
+        variables.pop("intermediates", None)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_variables
+
+            variables = shard_variables(variables, self.mesh)
+        return variables
+
+    def _loss_terms(self, params, batch_stats, batch, rng, train: bool):
+        mc = self.cfg.model_config
+        ids, dense, y, dmask, weight = batch
+        model_mask = dmask if (mc.masked_loss and dmask is not None) else None
+        mutable = ["batch_stats"]
+        want_cka = (
+            mc.use_cka_loss and self.task_name in ("msl", "mtmsl") and dmask is not None
+        )
+        if want_cka:
+            mutable.append("intermediates")
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        probs, mutated = self.model.apply(
+            variables,
+            ids,
+            dense,
+            model_mask,
+            train=train,
+            mutable=mutable,
+            rngs={"dropout": rng},
+        )
+        data_loss = multitask_loss(
+            probs,
+            y,
+            weight,
+            self.loss_names,
+            self.task_name,
+            self.num_domains,
+            domain_mask=dmask if mc.masked_loss else None,
+            model_name=self.model_name,
+        )
+        reg = l2_regularization(params, mc.l2_reg_embedding, mc.l2_reg_dnn)
+        cka = 0.0
+        if want_cka:
+            inter = mutated.get("intermediates", {})
+            last = inter.get("last_layer", inter.get("dnn_input"))
+            if last is not None:
+                last = last[0] if isinstance(last, tuple) else last
+                cka = cka_domain_loss(last, dmask, alpha=0.5)
+        total = data_loss + reg + cka
+        new_stats = mutated.get("batch_stats", batch_stats)
+        return total, (data_loss, new_stats, probs)
+
+    def _make_train_step(self):
+        tx = self.tx
+
+        def train_step(state, batch):
+            params, batch_stats, opt_state, rng = (
+                state["params"],
+                state["batch_stats"],
+                state["opt_state"],
+                state["rng"],
+            )
+            rng, step_rng = jax.random.split(rng)
+
+            if self.is_pcgrad:
+                # intended PCGrad semantics: one gradient per task objective
+                # (the reference call site passes a scalar and crashes;
+                # SURVEY §2.4.4).
+                T = self.num_tasks
+                task_grads = []
+                data_loss = 0.0
+                new_stats = batch_stats
+                probs = None
+                for i in range(T):
+                    def task_loss(p, i=i):
+                        total, (dl, ns, pr) = self._loss_terms_single_task(
+                            p, batch_stats, batch, step_rng, i
+                        )
+                        return total, (dl, ns, pr)
+
+                    (l_i, (dl, ns, pr)), g_i = jax.value_and_grad(
+                        task_loss, has_aux=True
+                    )(params)
+                    task_grads.append(g_i)
+                    data_loss = dl  # full multi-head loss (same value per pass)
+                    new_stats, probs = ns, pr
+                grads = pcgrad_merge(task_grads)
+                total_loss = data_loss
+            else:
+                (total_loss, (data_loss, new_stats, probs)), grads = (
+                    jax.value_and_grad(self._loss_terms, has_aux=True)(
+                        params, batch_stats, batch, step_rng, True
+                    )
+                )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            new_state = {
+                "params": params,
+                "batch_stats": new_stats,
+                "opt_state": opt_state,
+                "rng": rng,
+            }
+            return new_state, total_loss, data_loss, probs
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _loss_terms_single_task(self, params, batch_stats, batch, rng, task_idx):
+        mc = self.cfg.model_config
+        ids, dense, y, dmask, weight = batch
+        model_mask = dmask if (mc.masked_loss and dmask is not None) else None
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        probs, mutated = self.model.apply(
+            variables, ids, dense, model_mask, train=True,
+            mutable=["batch_stats"], rngs={"dropout": rng},
+        )
+        onehot = jnp.zeros((probs.shape[-1],)).at[task_idx].set(1.0)
+        masked_probs = probs * onehot[None] + jax.lax.stop_gradient(probs) * (1 - onehot[None])
+        data_loss = multitask_loss(
+            masked_probs, y, weight, self.loss_names, self.task_name,
+            self.num_domains,
+            domain_mask=dmask if mc.masked_loss else None,
+            model_name=self.model_name,
+        )
+        # spread the (task-agnostic) reg evenly across task objectives
+        reg = l2_regularization(params, mc.l2_reg_embedding, mc.l2_reg_dnn)
+        total = data_loss + reg / max(self.num_tasks, 1)
+        return total, (data_loss, mutated.get("batch_stats", batch_stats), probs)
+
+    def _make_eval_step(self):
+        def eval_step(variables, ids, dense, dmask):
+            mc = self.cfg.model_config
+            model_mask = dmask if (mc.masked_loss and dmask is not None) else None
+            return self.model.apply(
+                variables, ids, dense, model_mask, train=False
+            )
+
+        return jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    # fit
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        x=None,
+        y=None,
+        batch_size: Optional[int] = None,
+        epochs: int = 1,
+        initial_epoch: int = 0,
+        validation_split: float = 0.0,
+        validation_data=None,
+        shuffle: bool = True,
+        verbose: int = 1,
+    ) -> "Trainer":
+        mc, oc, tc = self.cfg.model_config, self.cfg.optim_config, self.cfg.training_config
+        batch_size = batch_size or 256
+        ids, dense = self.pack_inputs(x)
+        y = self._prepare_y(y)
+        dmask = self._domain_mask_from(x)
+        n = len(ids)
+
+        val = None
+        if validation_data is not None:
+            vx, vy = validation_data[:2]
+            v_ids, v_dense = self.pack_inputs(vx)
+            v_dmask = self._domain_mask_from(vx)
+            val = (v_ids, v_dense, self._prepare_y(vy), v_dmask)
+        elif validation_split and 0.0 < validation_split < 1.0:
+            split = int(n * (1.0 - validation_split))
+            val = (
+                ids[split:],
+                dense[split:],
+                y[split:],
+                dmask[split:] if dmask is not None else None,
+            )
+            ids, dense, y = ids[:split], dense[:split], y[:split]
+            dmask = dmask[:split] if dmask is not None else None
+            n = split
+
+        if self.variables is None:
+            self.variables = self._init_variables(ids[:2], dense[:2])
+        params = self.variables["params"]
+        batch_stats = self.variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        state = {
+            "params": params,
+            "batch_stats": batch_stats,
+            "opt_state": opt_state,
+            "rng": jax.random.PRNGKey(self.seed + 1),
+        }
+
+        train_step = self._make_train_step()
+        steps_per_epoch = (n - 1) // batch_size + 1
+        max_steps = tc.max_steps or 0
+        if verbose:
+            print(
+                f"Train on {n} samples, validate on "
+                f"{len(val[0]) if val else 0} samples, {steps_per_epoch} steps per epoch"
+            )
+
+        rng_np = np.random.default_rng(self.seed)
+        best_auc = 0.0
+        early_stop_count = 0
+        best_state_vars = None
+        total_steps = 0
+        examples_seen = 0
+        train_time = 0.0
+
+        for epoch in range(initial_epoch, epochs):
+            t0 = time.time()
+            order = rng_np.permutation(n) if shuffle else np.arange(n)
+            loss_epoch = 0.0
+            total_loss_epoch = 0.0
+            epoch_probs: List[np.ndarray] = []
+            epoch_y: List[np.ndarray] = []
+            for s in range(steps_per_epoch):
+                idx = order[s * batch_size : (s + 1) * batch_size]
+                pad = batch_size - len(idx)
+                weight = np.ones(batch_size, np.float32)
+                if pad:
+                    weight[len(idx) :] = 0.0
+                    idx = np.concatenate([idx, np.zeros(pad, np.int64)])
+                batch = (
+                    jnp.asarray(ids[idx]),
+                    jnp.asarray(dense[idx]),
+                    jnp.asarray(y[idx]),
+                    jnp.asarray(dmask[idx]) if dmask is not None else None,
+                    jnp.asarray(weight),
+                )
+                if self.mesh is not None:
+                    from ..parallel.mesh import shard_batch
+
+                    batch = shard_batch(batch, self.mesh)
+                state, total_loss, data_loss, probs = train_step(state, batch)
+                total_steps += 1
+                examples_seen += int(np.sum(weight))
+                if self.metric_fns:
+                    epoch_probs.append(np.asarray(probs))
+                    epoch_y.append(y[idx])
+                loss_epoch += float(data_loss)
+                total_loss_epoch += float(total_loss)
+                if max_steps and total_steps >= max_steps:
+                    break
+
+            jax.block_until_ready(state["params"])
+            epoch_time = time.time() - t0
+            train_time += epoch_time
+            logs: Dict[str, float] = {
+                "loss": total_loss_epoch / max(n, 1),
+                "epoch_s": epoch_time,
+            }
+            if self.metric_fns and epoch_probs:
+                probs_all = np.concatenate(epoch_probs)
+                y_all = np.concatenate(epoch_y)
+                if self.model_name in ("escm", "escm_dr"):
+                    probs_all = probs_all[:, [0, 2]]
+                logs.update(
+                    regime_eval(
+                        self.metric_fns, y_all, probs_all, self.task_name, self.num_domains
+                    )
+                )
+
+            self.variables = {
+                "params": state["params"],
+                "batch_stats": state["batch_stats"],
+            }
+            if val is not None:
+                val_result = self._evaluate_packed(*val, batch_size=batch_size)
+                for k, v in val_result.items():
+                    logs[f"val_{k}"] = v
+                auc = val_result.get("auc", 0.0)
+                if auc > best_auc:
+                    best_auc = auc
+                    # device-side copy: train_step donates its input state,
+                    # so the snapshot must own its buffers (reference keeps
+                    # a deepcopy, basemodel.py:344)
+                    best_state_vars = jax.tree_util.tree_map(
+                        lambda a: jnp.copy(a), self.variables
+                    )
+                    early_stop_count = 0
+                else:
+                    early_stop_count += 1
+            self.history.append(logs)
+            if verbose:
+                msg = f"Epoch {epoch + 1}/{epochs} - {epoch_time:.1f}s - " + " - ".join(
+                    f"{k}: {v:.4f}" for k, v in logs.items() if k != "epoch_s"
+                )
+                print(msg)
+            if val is not None and early_stop_count >= oc.early_stop:
+                break
+            if max_steps and total_steps >= max_steps:
+                break
+
+        if train_time > 0:
+            self.throughput_examples_per_s = examples_seen / train_time
+        self.best_variables = best_state_vars or self.variables
+        if self.cfg.save_config.save:
+            try:
+                self.save_checkpoint(self.cfg.save_config.save_path)
+            except Exception as e:  # pragma: no cover - fs dependent
+                print(f"checkpoint save failed: {e}")
+        return self
+
+    # ------------------------------------------------------------------
+    # evaluate / predict
+    # ------------------------------------------------------------------
+    def _predict_packed(
+        self, ids, dense, dmask, batch_size: int, collect_intermediates: bool = False
+    ):
+        variables = self.best_variables or self.variables
+        eval_step = self._make_eval_step()
+        n = len(ids)
+        steps = (n - 1) // batch_size + 1
+        preds = []
+        inters: Dict[str, List[np.ndarray]] = {}
+        for s in range(steps):
+            lo, hi = s * batch_size, min((s + 1) * batch_size, n)
+            pad = batch_size - (hi - lo)
+            sl = slice(lo, hi)
+            b_ids, b_dense = ids[sl], dense[sl]
+            b_dm = dmask[sl] if dmask is not None else None
+            if pad:
+                b_ids = np.concatenate([b_ids, np.repeat(b_ids[-1:], pad, 0)])
+                b_dense = np.concatenate([b_dense, np.repeat(b_dense[-1:], pad, 0)])
+                if b_dm is not None:
+                    b_dm = np.concatenate([b_dm, np.repeat(b_dm[-1:], pad, 0)])
+            if collect_intermediates:
+                mc = self.cfg.model_config
+                model_mask = (
+                    jnp.asarray(b_dm)
+                    if (mc.masked_loss and b_dm is not None)
+                    else None
+                )
+                probs, mutated = self.model.apply(
+                    variables, jnp.asarray(b_ids), jnp.asarray(b_dense), model_mask,
+                    train=False, mutable=["intermediates"],
+                )
+                for key, vals in mutated["intermediates"].items():
+                    v = vals[0] if isinstance(vals, tuple) else vals
+                    arr = np.asarray(v)[: hi - lo]
+                    inters.setdefault(key, []).append(arr)
+            else:
+                probs = eval_step(
+                    variables,
+                    jnp.asarray(b_ids),
+                    jnp.asarray(b_dense),
+                    jnp.asarray(b_dm) if b_dm is not None else None,
+                )
+            preds.append(np.asarray(probs)[: hi - lo])
+        out = np.concatenate(preds).astype(np.float64)
+        if collect_intermediates:
+            return out, {k: np.concatenate(v).astype(np.float64) for k, v in inters.items()}
+        return out
+
+    def predict(self, x, batch_size: int = 256):
+        """Reference basemodel.py:395-457; escm keeps [pCTR, pCTCVR] columns
+        (:438-441); returns (preds, layer_output_dict) after update_save()."""
+        ids, dense = self.pack_inputs(x)
+        dmask = self._domain_mask_from(x)
+        result = self._predict_packed(
+            ids, dense, dmask, batch_size, collect_intermediates=self._save_layer_output
+        )
+        if self._save_layer_output:
+            preds, inters = result
+        else:
+            preds = result
+        if self.model_name in ("escm", "escm_dr"):
+            preds = preds[:, [0, 2]]
+        if self._save_layer_output:
+            return preds, inters
+        return preds
+
+    def _evaluate_packed(self, ids, dense, y, dmask, batch_size: int) -> Dict[str, float]:
+        preds = self._predict_packed(ids, dense, dmask, batch_size)
+        if self.model_name in ("escm", "escm_dr"):
+            preds = preds[:, [0, 2]]
+        return regime_eval(self.metric_fns, y, preds, self.task_name, self.num_domains)
+
+    def evaluate(self, x, y, batch_size: int = 256) -> Dict[str, float]:
+        ids, dense = self.pack_inputs(x)
+        return self._evaluate_packed(
+            ids, dense, self._prepare_y(y), self._domain_mask_from(x), batch_size
+        )
+
+    def update_save(self, value: bool = True):
+        """Enable layer-output capture on predict (reference basemodel.py:458)."""
+        self._save_layer_output = value
+
+    # ------------------------------------------------------------------
+    # checkpointing (the reference defines save_config but never reads it;
+    # SURVEY §5 — honored here via orbax)
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(
+            os.path.join(path, f"{self.model_name}_{self.task_name}_seed{self.seed}")
+        )
+        ckpt = self.best_variables or self.variables
+        checkpointer = ocp.StandardCheckpointer()
+        checkpointer.save(path, ckpt, force=True)
+        checkpointer.wait_until_finished()
+        return path
+
+    def restore_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        if self.variables is None:
+            raise ValueError("call fit() or init variables before restore")
+        checkpointer = ocp.StandardCheckpointer()
+        self.variables = checkpointer.restore(path, self.variables)
+        self.best_variables = self.variables
+        return self

@@ -1,0 +1,61 @@
+import glob
+import os
+
+import pytest
+
+from mmlrec_tpu.config import ExperimentConfig
+
+REF = "/root/reference"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+@pytest.mark.parametrize(
+    "path",
+    sorted(
+        glob.glob(f"{REF}/configs_mtl/*.json")
+        + glob.glob(f"{REF}/configs_msl/*.json")
+        + glob.glob(f"{REF}/configs_mtmsl/*.json")
+    ),
+)
+def test_parses_reference_configs_unchanged(path):
+    cfg = ExperimentConfig.from_file(path)
+    assert cfg.model_config.task_name in ("mtl", "msl", "mtmsl")
+    assert cfg.num_tasks >= 2
+    assert cfg.training_config.train_batch_size == 4096
+
+
+def test_num_tasks_per_regime():
+    base = {
+        "data_config": {"label_columns": ["l", "l", "l2", "l2"], "num_domains": 2,
+                        "mask_values": [0, 1], "mask_column": "c"},
+        "model_config": {"task_name": "mtmsl", "task_names": ["a", "b"],
+                         "task_types": ["binary"] * 4},
+    }
+    cfg = ExperimentConfig.from_dict(base)
+    assert cfg.num_tasks == 4  # len(label_columns), reference basemodel.py:99-100
+    assert cfg.target_columns == ["l", "l2"]
+
+    base["model_config"]["task_name"] = "msl"
+    base["model_config"]["task_types"] = ["binary", "binary"]
+    assert ExperimentConfig.from_dict(base).num_tasks == 2  # num_domains
+
+    base["model_config"]["task_name"] = "mtl"
+    assert ExperimentConfig.from_dict(base).num_tasks == 2  # len(task_names)
+
+
+def test_validation_rejects_bad_mask_values():
+    raw = {
+        "data_config": {"label_columns": ["l", "l"], "num_domains": 3,
+                        "mask_values": [0, 1], "mask_column": "c"},
+        "model_config": {"task_name": "msl", "task_types": ["binary"] * 3},
+    }
+    with pytest.raises(ValueError):
+        ExperimentConfig.from_dict(raw)
+
+
+def test_roundtrip_preserves_unknown_keys():
+    raw = {"model_config": {"task_name": "mtl", "mystery_key": 7,
+                            "task_types": ["binary", "binary"]}}
+    cfg = ExperimentConfig.from_dict(raw)
+    assert cfg.model_config.extra["mystery_key"] == 7
+    assert cfg.to_dict()["model_config"]["mystery_key"] == 7

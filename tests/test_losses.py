@@ -1,0 +1,142 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmlrec_tpu.train.cka import linear_cka
+from mmlrec_tpu.train.losses import (
+    bce_elementwise,
+    escm_loss,
+    l2_regularization,
+    multitask_loss,
+)
+
+torch = pytest.importorskip("torch")
+
+
+def test_bce_matches_torch():
+    rng = np.random.default_rng(0)
+    pred = rng.uniform(1e-4, 1 - 1e-4, 100).astype(np.float32)
+    y = rng.integers(0, 2, 100).astype(np.float32)
+    ours = np.asarray(bce_elementwise(jnp.asarray(pred), jnp.asarray(y)))
+    ref = torch.nn.functional.binary_cross_entropy(
+        torch.tensor(pred), torch.tensor(y), reduction="none"
+    ).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_multitask_sum_reduction_matches_torch():
+    # reference default branch (basemodel.py:294-296): sum over batch + heads
+    rng = np.random.default_rng(1)
+    probs = rng.uniform(0.01, 0.99, (32, 3)).astype(np.float32)
+    y = rng.integers(0, 2, (32, 3)).astype(np.float32)
+    w = np.ones(32, np.float32)
+    ours = float(
+        multitask_loss(
+            jnp.asarray(probs), jnp.asarray(y), jnp.asarray(w),
+            ["binary_crossentropy"] * 3, "mtl", 1,
+        )
+    )
+    ref = sum(
+        torch.nn.functional.binary_cross_entropy(
+            torch.tensor(probs[:, i]), torch.tensor(y[:, i]), reduction="sum"
+        ).item()
+        for i in range(3)
+    )
+    assert abs(ours - ref) / abs(ref) < 1e-5
+
+
+def test_msl_masked_loss_weighting():
+    # intended masked semantics (basemodel.py:274-275)
+    probs = jnp.asarray([[0.9, 0.2], [0.3, 0.8]])
+    y = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+    dmask = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+    w = jnp.ones(2)
+    loss = float(
+        multitask_loss(probs, y, w, ["binary_crossentropy"] * 2, "msl", 2,
+                       domain_mask=dmask)
+    )
+    expect = float(
+        bce_elementwise(probs[0, 0], y[0, 0]) + bce_elementwise(probs[1, 1], y[1, 1])
+    )
+    assert abs(loss - expect) < 1e-6
+
+
+def test_mtmsl_mask_indexing():
+    # head i weighted by domain i % D (basemodel.py:276-282)
+    B, T, D = 4, 4, 2
+    rng = np.random.default_rng(2)
+    probs = jnp.asarray(rng.uniform(0.1, 0.9, (B, T)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, (B, T)), jnp.float32)
+    dom = np.array([0, 1, 0, 1])
+    dmask = jnp.asarray(np.eye(D)[dom], jnp.float32)
+    w = jnp.ones(B)
+    loss = float(
+        multitask_loss(probs, y, w, ["binary_crossentropy"] * T, "mtmsl", D,
+                       domain_mask=dmask)
+    )
+    expect = 0.0
+    el = np.asarray(bce_elementwise(probs, y))
+    for i in range(T):
+        expect += (el[:, i] * np.asarray(dmask)[:, i % D]).sum()
+    assert abs(loss - expect) < 1e-4
+
+
+def test_sample_weight_zeroes_padding():
+    rng = np.random.default_rng(3)
+    probs = jnp.asarray(rng.uniform(0.1, 0.9, (8, 2)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, (8, 2)), jnp.float32)
+    w_full = jnp.ones(8)
+    w_pad = w_full.at[6:].set(0.0)
+    full = multitask_loss(probs[:6], y[:6], w_full[:6],
+                          ["binary_crossentropy"] * 2, "mtl", 1)
+    padded = multitask_loss(probs, y, w_pad, ["binary_crossentropy"] * 2, "mtl", 1)
+    assert abs(float(full) - float(padded)) < 1e-5
+
+
+def test_escm_loss_matches_reference_formula():
+    # reference basemodel.py:284-292 + escm.py:99-111
+    rng = np.random.default_rng(4)
+    B = 16
+    probs = rng.uniform(0.05, 0.95, (B, 3)).astype(np.float32)
+    y = rng.integers(0, 2, (B, 2)).astype(np.float32)
+    w = np.ones(B, np.float32)
+    ours = float(
+        escm_loss(jnp.asarray(probs), jnp.asarray(y), jnp.asarray(w),
+                  ["binary_crossentropy", "binary_crossentropy"])
+    )
+
+    tp = torch.tensor(probs)
+    ty = torch.tensor(y)
+    F = torch.nn.functional
+    loss_0 = F.binary_cross_entropy(tp[:, 0], ty[:, 0], reduction="sum")
+    loss_1 = F.binary_cross_entropy(tp[:, 1], ty[:, 1], reduction="sum")
+    loss_2 = F.binary_cross_entropy(tp[:, 2], ty[:, 1], reduction="sum")
+    ctr_num = torch.sum(ty[:, 0])
+    o = ty[:, 0]
+    ps = torch.maximum(tp[:, 0] * ctr_num, torch.full((B,), 1e-6))
+    ips = torch.clip(torch.reciprocal(ps), -15, 15) * B
+    loss_1 = torch.mean(loss_1 * ips * o)
+    ref = (loss_0 + 0.1 * loss_1 + 1.0 * loss_2).item()
+    assert abs(ours - ref) / abs(ref) < 1e-4
+
+
+def test_l2_regularization_targets_kernels_not_biases():
+    params = {
+        "embeddings": {"fused": {"table": jnp.ones((4, 2))}},
+        "dense_0": {"kernel": jnp.ones((3, 3)), "bias": jnp.ones((3,))},
+        "bn_0": {"scale": jnp.ones((3,)), "bias": jnp.ones((3,))},
+    }
+    reg = float(l2_regularization(params, l2_embedding=0.5, l2_dnn=0.1))
+    # 0.5 * 8 (table) + 0.1 * 9 (kernel); bias/bn excluded
+    assert abs(reg - (0.5 * 8 + 0.1 * 9)) < 1e-6
+
+
+def test_linear_cka_properties():
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(32, 8)), jnp.float32)
+    assert abs(float(linear_cka(x, x)) - 1.0) < 1e-5
+    y = jnp.asarray(rng.normal(size=(32, 8)), jnp.float32)
+    v = float(linear_cka(x, y))
+    assert 0.0 <= v <= 1.0
+    # invariant to isotropic scaling
+    assert abs(float(linear_cka(x, 3.0 * y)) - v) < 1e-5

@@ -1,0 +1,155 @@
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmlrec_tpu.config import ExperimentConfig
+from mmlrec_tpu.features import DenseFeat, FeatureLayout, SparseFeat
+from mmlrec_tpu.models import MODEL_REGISTRY, get_model
+from mmlrec_tpu.synthetic import make_config
+
+B = 16
+N_SPARSE, N_DENSE, VOCAB = 5, 3, 50
+
+
+@pytest.fixture(scope="module")
+def layout():
+    cols = [SparseFeat(f"s{i}", VOCAB, 8) for i in range(N_SPARSE)] + [
+        DenseFeat(f"d{i}", 1) for i in range(N_DENSE)
+    ]
+    return FeatureLayout(cols)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, VOCAB, (B, N_SPARSE)), jnp.int32)
+    dense = jnp.asarray(rng.random((B, N_DENSE)), jnp.float32)
+    return ids, dense
+
+
+def _cfg(task_name="mtl", model_name="mmoe", **kw):
+    cfg = make_config(
+        task_name=task_name,
+        model_name=model_name,
+        n_sparse=N_SPARSE,
+        n_dense=N_DENSE,
+        hidden=(32, 16),
+        tower=(8,),
+        gate=(8,),
+        **kw,
+    )
+    return cfg
+
+
+@pytest.mark.parametrize("name", sorted(MODEL_REGISTRY))
+def test_forward_shapes_mtl(name, layout, batch):
+    cfg = _cfg(model_name=name if name != "pcg" else "mmoe")
+    model = get_model(name, layout, cfg)
+    ids, dense = batch
+    variables = model.init(jax.random.PRNGKey(0), ids, dense, None, train=False)
+    out = model.apply(variables, ids, dense, None, train=False)
+    expected_cols = {"escm": 3, "escm_dr": 4}.get(name, 2)
+    assert out.shape == (B, expected_cols)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    if name not in ("escm", "escm_dr"):  # ESCM's ctcvr column is a product
+        assert bool(jnp.all((out >= 0) & (out <= 1)))
+
+
+MSL_MODELS = ["sharedbottom", "mmoe", "ple", "star", "mlp", "hmoe", "snr_trans",
+              "mssm", "apg", "pepnet", "cross_stitch"]
+
+
+@pytest.mark.parametrize("name", MSL_MODELS)
+def test_msl_domain_mask_gates_heads(name, layout, batch):
+    cfg = _cfg(task_name="msl", model_name=name, num_domains=2)
+    cfg.model_config.masked_loss = True
+    model = get_model(name, layout, cfg)
+    ids, dense = batch
+    dom = np.arange(B) % 2
+    dmask = jnp.asarray(np.eye(2)[dom], jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), ids, dense, dmask, train=False)
+    out = model.apply(variables, ids, dense, dmask, train=False)
+    # head i must be zeroed outside its domain (reference mmoe.py:101-102)
+    out = np.asarray(out)
+    for i in range(2):
+        assert np.allclose(out[dom != i, i], 0.0)
+        assert not np.allclose(out[dom == i, i], 0.0)
+
+
+def test_mtmsl_mask_pattern(layout, batch):
+    cfg = _cfg(task_name="mtmsl", model_name="star", num_tasks=4, num_domains=2)
+    cfg.model_config.masked_loss = True
+    model = get_model("star", layout, cfg)
+    ids, dense = batch
+    dom = np.arange(B) % 2
+    dmask = jnp.asarray(np.eye(2)[dom], jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), ids, dense, dmask, train=False)
+    out = np.asarray(model.apply(variables, ids, dense, dmask, train=False))
+    assert out.shape == (B, 4)
+    for i in range(4):
+        j = i % 2  # reference mmoe.py:103-106
+        assert np.allclose(out[dom != j, i], 0.0)
+
+
+def test_esmm_ctcvr_is_product(layout, batch):
+    cfg = _cfg(model_name="esmm")
+    model = get_model("esmm", layout, cfg)
+    ids, dense = batch
+    variables = model.init(jax.random.PRNGKey(0), ids, dense, None, train=False)
+    out = np.asarray(model.apply(variables, ids, dense, None, train=False))
+    # pCTCVR = pCTR * pCVR <= pCTR (reference esmm.py:60)
+    assert (out[:, 1] <= out[:, 0] + 1e-6).all()
+
+
+def test_escm_column_semantics(layout, batch):
+    cfg = _cfg(model_name="escm")
+    model = get_model("escm", layout, cfg)
+    ids, dense = batch
+    variables = model.init(jax.random.PRNGKey(0), ids, dense, None, train=False)
+    out = np.asarray(model.apply(variables, ids, dense, None, train=False))
+    np.testing.assert_allclose(out[:, 2], out[:, 0] * out[:, 1], rtol=1e-5)
+
+
+def test_layer_output_capture(layout, batch):
+    """sow()-based layer capture (reference save_layer_output,
+    model/mmoe.py:110-118)."""
+    cfg = _cfg(model_name="mmoe")
+    model = get_model("mmoe", layout, cfg)
+    ids, dense = batch
+    variables = model.init(jax.random.PRNGKey(0), ids, dense, None, train=False)
+    _, mutated = model.apply(
+        variables, ids, dense, None, train=False, mutable=["intermediates"]
+    )
+    inter = mutated["intermediates"]
+    for key in ("dnn_input", "expert_outputs", "mmoe_outputs", "gate_outputs",
+                "tower_outputs"):
+        assert key in inter, key
+
+
+def test_aitm_requires_two_tasks(layout, batch):
+    cfg = _cfg(model_name="aitm", task_name="msl", num_domains=3)
+    model = get_model("aitm", layout, cfg)
+    ids, dense = batch
+    with pytest.raises(ValueError):
+        model.init(jax.random.PRNGKey(0), ids, dense, None, train=False)
+
+
+def test_models_gradients_flow(layout, batch):
+    cfg = _cfg(model_name="mmoe")
+    model = get_model("mmoe", layout, cfg)
+    ids, dense = batch
+    variables = model.init(jax.random.PRNGKey(0), ids, dense, None, train=False)
+
+    def loss(params):
+        out = model.apply({"params": params}, ids, dense, None, train=False)
+        return jnp.sum((out - 0.5) ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    flat = jax.tree_util.tree_leaves(grads)
+    assert any(bool(jnp.any(g != 0)) for g in flat)
+    # embedding table receives gradient
+    g_table = grads["embeddings"]["fused"]["table"]
+    assert bool(jnp.any(g_table != 0))

@@ -1,0 +1,119 @@
+import numpy as np
+import pytest
+
+from mmlrec_tpu.models import get_model
+from mmlrec_tpu.synthetic import make_config, make_data
+from mmlrec_tpu.train import Trainer
+
+
+def _fit(task_name="mtl", model_name="mmoe", n=1500, epochs=3, **kw):
+    cfg = make_config(
+        task_name=task_name, model_name=model_name, n_sparse=4, n_dense=2,
+        hidden=(16, 8), tower=(8,), gate=(8,), epochs=epochs, batch_size=128,
+        lr=3e-3, **kw,
+    )
+    layout, x, y, _ = make_data(cfg, n=n, seed=0)
+    _, xv, yv, _ = make_data(cfg, n=n // 3, seed=1)
+    model = get_model(model_name, layout, cfg)
+    tr = Trainer(model, seed=0).compile()
+    tr.fit(x, y, batch_size=128, epochs=epochs, validation_data=(xv, yv), verbose=0)
+    return cfg, tr, (x, y), (xv, yv)
+
+
+def test_fit_learns_signal():
+    _, tr, _, (xv, yv) = _fit(epochs=6)
+    assert max(h["val_auc"] for h in tr.history) > 0.62
+
+
+def test_best_model_selection():
+    # predictions come from the epoch with the best val AUC
+    _, tr, _, (xv, yv) = _fit(epochs=4)
+    best = max(h["val_auc"] for h in tr.history)
+    res = tr.evaluate(xv, yv, batch_size=128)
+    assert abs(res["auc"] - best) < 1e-6
+
+
+def test_partial_final_batch_padded_not_recompiled():
+    # n=1500 with bs=128 -> last batch has 92 rows; must still train fine
+    _, tr, (x, y), _ = _fit(n=1500, epochs=1)
+    assert np.isfinite(tr.history[0]["loss"])
+
+
+def test_predict_shapes_and_range():
+    _, tr, _, (xv, yv) = _fit(epochs=1)
+    preds = tr.predict(xv, batch_size=100)  # non-divisor batch size
+    assert preds.shape == (len(yv), 2)
+    assert (preds >= 0).all() and (preds <= 1).all()
+
+
+def test_msl_training_and_eval():
+    cfg, tr, _, (xv, yv) = _fit(task_name="msl", model_name="sharedbottom",
+                                num_domains=2, epochs=2)
+    res = tr.evaluate(xv, yv, batch_size=128)
+    assert "auc" in res  # regime_eval msl: summed preds vs y[:,0]
+
+
+def test_msl_masked_loss_flag():
+    cfg, tr, _, (xv, yv) = _fit(task_name="msl", model_name="sharedbottom",
+                                num_domains=2, epochs=2, masked_loss=True)
+    assert np.isfinite(tr.history[-1]["loss"])
+
+
+def test_mtmsl_training():
+    cfg, tr, _, (xv, yv) = _fit(task_name="mtmsl", model_name="mmoe",
+                                num_tasks=4, num_domains=2, epochs=2)
+    preds = tr.predict(xv, batch_size=128)
+    assert preds.shape[1] == 4
+
+
+def test_escm_training_and_predict_columns():
+    cfg, tr, _, (xv, yv) = _fit(model_name="escm", epochs=2)
+    preds = tr.predict(xv, batch_size=128)
+    assert preds.shape[1] == 2  # [pCTR, pCTCVR] (reference basemodel.py:438-441)
+
+
+def test_pcgrad_training_runs():
+    cfg, tr, _, (xv, yv) = _fit(model_name="pcg", epochs=2, n=600)
+    assert np.isfinite(tr.history[-1]["loss"])
+    assert tr.history[-1]["val_auc"] > 0.5
+
+
+def test_layer_output_capture_through_predict():
+    cfg, tr, _, (xv, yv) = _fit(model_name="mmoe", epochs=1)
+    tr.update_save()
+    preds, inters = tr.predict(xv, batch_size=128)
+    assert "dnn_input" in inters and "expert_outputs" in inters
+    assert inters["dnn_input"].shape[0] == len(preds)
+
+
+def test_early_stopping(capsys):
+    cfg = make_config(task_name="mtl", model_name="sharedbottom", n_sparse=3,
+                      n_dense=1, hidden=(8,), tower=(4,), gate=(4,),
+                      epochs=30, batch_size=256, lr=1e-2)
+    cfg.optim_config.early_stop = 2
+    layout, x, y, _ = make_data(cfg, n=800, seed=0)
+    _, xv, yv, _ = make_data(cfg, n=300, seed=1)
+    model = get_model("sharedbottom", layout, cfg)
+    tr = Trainer(model, seed=0).compile()
+    tr.fit(x, y, batch_size=256, epochs=30, validation_data=(xv, yv), verbose=0)
+    assert len(tr.history) < 30  # stopped early
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg, tr, _, (xv, yv) = _fit(epochs=1)
+    path = tr.save_checkpoint(str(tmp_path / "ckpt"))
+    before = tr.predict(xv, batch_size=128)
+    # perturb then restore
+    import jax
+
+    tr.variables = jax.tree_util.tree_map(lambda a: a * 0, tr.variables)
+    tr.best_variables = tr.variables
+    tr.restore_checkpoint(path)
+    after = tr.predict(xv, batch_size=128)
+    np.testing.assert_allclose(before, after, rtol=1e-6)
+
+
+def test_seed_determinism():
+    r1 = _fit(epochs=1, n=600)[1].history[0]["loss"]
+    r2 = _fit(epochs=1, n=600)[1].history[0]["loss"]
+    assert r1 == r2
