@@ -21,7 +21,7 @@ import numpy as np
 
 # Reference (torch, this machine's CPU — the only hardware the reference can
 # use here) MMoE/AE-shape throughput, measured by benchmarks/bench_reference_torch.py.
-REFERENCE_EXAMPLES_PER_S = 97000.0
+REFERENCE_EXAMPLES_PER_S = 63614.9
 
 
 def main():
