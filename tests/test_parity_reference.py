@@ -1,0 +1,260 @@
+"""Numerical parity vs the reference implementation.
+
+Imports the reference code from its read-only mount (no copying), transplants
+OUR initialized parameters into the reference torch modules, and checks that
+both frameworks produce the same forward outputs / preprocessing artifacts.
+This pins down the math (gate softmax axes, expert mixing, head biases,
+label-encoding spaces) far more tightly than distribution-level checks.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+
+torch = pytest.importorskip("torch")
+
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+import jax
+import jax.numpy as jnp
+
+from mmlrec_tpu.features import DenseFeat, FeatureLayout, SparseFeat
+from mmlrec_tpu.models import get_model
+from mmlrec_tpu.synthetic import make_config
+
+N_SPARSE, N_DENSE, VOCAB, EMB, B = 6, 3, 40, 8, 32
+
+
+def _ref_config(model_name, hidden, gate, tower):
+    return {
+        "data_config": {"num_domains": 1, "label_columns": ["l1", "l2"]},
+        "model_config": {
+            "task_name": "mtl",
+            "model_name": model_name,
+            "task_names": ["ctr", "ctcvr"],
+            "task_types": ["binary", "binary"],
+            "num_experts": 4,
+            "expert_dnn_hidden_units": list(hidden),
+            "gate_dnn_hidden_units": list(gate),
+            "tower_dnn_hidden_units": list(tower),
+            "dnn_hidden_units": list(hidden),
+            "bottom_dnn_hidden_units": list(hidden),
+            "l2_reg_embedding": 0.0,
+            "l2_reg_dnn": 0.0,
+            "dnn_dropout": 0.0,
+            "dnn_use_bn": False,
+            "dnn_activation": "relu",
+        },
+        "optim_config": {"lr": 1e-3},
+        "training_config": {},
+        "save_config": {},
+    }
+
+
+def _inputs():
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, VOCAB, (B, N_SPARSE)).astype(np.int64)
+    dense = rng.random((B, N_DENSE)).astype(np.float32)
+    x_ref = torch.from_numpy(
+        np.concatenate([ids.astype(np.float32), dense], axis=1)
+    )
+    return jnp.asarray(ids, jnp.int32), jnp.asarray(dense), x_ref
+
+
+def _layout_and_refcols():
+    from model.utils import DenseFeat as RDense, SparseFeat as RSparse
+
+    ours = [SparseFeat(f"s{i}", VOCAB, EMB) for i in range(N_SPARSE)] + [
+        DenseFeat(f"d{i}", 1) for i in range(N_DENSE)
+    ]
+    ref = [RSparse(f"s{i}", VOCAB, EMB) for i in range(N_SPARSE)] + [
+        RDense(f"d{i}", 1) for i in range(N_DENSE)
+    ]
+    return FeatureLayout(ours), ref
+
+
+def _set(param: torch.nn.Parameter, value: np.ndarray):
+    with torch.no_grad():
+        param.copy_(torch.from_numpy(np.asarray(value)))
+
+
+def _copy_embeddings(ref_model, our_params, layout):
+    table = np.asarray(our_params["embeddings"]["fused"]["table"])
+    offset = 0
+    for slot in layout.sparse_slots:
+        vocab = slot.feature.vocabulary_size
+        _set(ref_model.embedding_dict[slot.feature.name].weight,
+             table[offset : offset + vocab])
+        offset += vocab
+
+
+def _copy_mlp_stack(ref_dnn_list, stacked, n_layers):
+    """our StackedMLP params {dense_i: {kernel [K,in,out], bias [K,out]}} ->
+    reference list of DNN modules."""
+    for k, dnn in enumerate(ref_dnn_list):
+        for i in range(n_layers):
+            _set(dnn.linears[i].weight, np.asarray(stacked[f"dense_{i}"]["kernel"])[k].T)
+            _set(dnn.linears[i].bias, np.asarray(stacked[f"dense_{i}"]["bias"])[k])
+
+
+def _copy_mlp(ref_dnn, ours, n_layers):
+    for i in range(n_layers):
+        _set(ref_dnn.linears[i].weight, np.asarray(ours[f"dense_{i}"]["kernel"]).T)
+        _set(ref_dnn.linears[i].bias, np.asarray(ours[f"dense_{i}"]["bias"]))
+
+
+def test_mmoe_forward_parity():
+    from model.mmoe import MMOE as RefMMOE
+
+    hidden, gate, tower = (32, 16), (8,), (8,)
+    layout, ref_cols = _layout_and_refcols()
+    cfg = make_config(model_name="mmoe", n_sparse=N_SPARSE, n_dense=N_DENSE,
+                      emb=EMB, hidden=hidden, gate=gate, tower=tower)
+    ours = get_model("mmoe", layout, cfg)
+    ids, dense, x_ref = _inputs()
+    variables = ours.init(jax.random.PRNGKey(0), ids, dense, None, train=False)
+    p = variables["params"]
+
+    ref = RefMMOE(ref_cols, device="cpu",
+                  config=_ref_config("mmoe", hidden, gate, tower))
+    ref.eval()
+    _copy_embeddings(ref, p, layout)
+    _copy_mlp_stack(ref.expert_dnn, p["expert_dnn"], len(hidden))
+    _copy_mlp_stack(ref.gate_dnn, p["gate_dnn"], len(gate))
+    _copy_mlp_stack(ref.tower_dnn, p["tower_dnn"], len(tower))
+    for t in range(2):
+        _set(ref.gate_dnn_final_layer[t].weight,
+             np.asarray(p["gate_final"]["kernel"])[t].T)
+        _set(ref.tower_dnn_final_layer[t].weight,
+             np.asarray(p["tower_final"]["kernel"])[t].T)
+        _set(ref.out[t].bias, np.asarray(p["out"]["bias"])[t : t + 1])
+
+    with torch.no_grad():
+        expect = ref(x_ref, None).numpy()
+    got = np.asarray(ours.apply(variables, ids, dense, None, train=False))
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-6)
+
+
+def test_esmm_forward_parity():
+    from model.esmm import ESMM as RefESMM
+
+    hidden = (32, 16)
+    layout, ref_cols = _layout_and_refcols()
+    cfg = make_config(model_name="esmm", n_sparse=N_SPARSE, n_dense=N_DENSE,
+                      emb=EMB, hidden=hidden)
+    ours = get_model("esmm", layout, cfg)
+    ids, dense, x_ref = _inputs()
+    variables = ours.init(jax.random.PRNGKey(0), ids, dense, None, train=False)
+    p = variables["params"]
+
+    ref = RefESMM(ref_cols, device="cpu",
+                  config=_ref_config("esmm", hidden, (8,), (8,)))
+    ref.eval()
+    _copy_embeddings(ref, p, layout)
+    _copy_mlp(ref.ctr_dnn, p["ctr_dnn"], len(hidden))
+    _copy_mlp(ref.cvr_dnn, p["cvr_dnn"], len(hidden))
+    _set(ref.ctr_dnn_final_layer.weight, np.asarray(p["ctr_final"]["kernel"]).T)
+    _set(ref.cvr_dnn_final_layer.weight, np.asarray(p["cvr_final"]["kernel"]).T)
+    _set(ref.out.bias, np.asarray(p["out_bias"]))
+
+    with torch.no_grad():
+        expect = ref(x_ref, None).numpy()
+    got = np.asarray(ours.apply(variables, ids, dense, None, train=False))
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-6)
+
+
+def test_sharedbottom_forward_parity():
+    from model.sharedbottom import SharedBottom as RefSB
+
+    hidden, tower = (32, 16), (8,)
+    layout, ref_cols = _layout_and_refcols()
+    cfg = make_config(model_name="sharedbottom", n_sparse=N_SPARSE,
+                      n_dense=N_DENSE, emb=EMB, hidden=hidden, tower=tower)
+    ours = get_model("sharedbottom", layout, cfg)
+    ids, dense, x_ref = _inputs()
+    variables = ours.init(jax.random.PRNGKey(0), ids, dense, None, train=False)
+    p = variables["params"]
+
+    ref = RefSB(ref_cols, device="cpu",
+                config=_ref_config("sharedbottom", hidden, (8,), tower))
+    ref.eval()
+    _copy_embeddings(ref, p, layout)
+    _copy_mlp(ref.bottom_dnn, p["bottom_dnn"], len(hidden))
+    _copy_mlp_stack(ref.tower_dnn, p["tower_dnn"], len(tower))
+    for t in range(2):
+        _set(ref.tower_dnn_final_layer[t].weight,
+             np.asarray(p["tower_final"]["kernel"])[t].T)
+        _set(ref.out[t].bias, np.asarray(p["out"]["bias"])[t : t + 1])
+
+    with torch.no_grad():
+        expect = ref(x_ref, None).numpy()
+    got = np.asarray(ours.apply(variables, ids, dense, None, train=False))
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-6)
+
+
+def test_ctrdataset_preprocessing_parity(tmp_path):
+    """Our CSV pipeline vs the reference ctrdataset on identical files."""
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    n_tr, n_te = 200, 80
+    cols = {}
+    for i in range(3):
+        cols[f"s{i}"] = rng.choice(["a", "b", "c", "dd"], n_tr + n_te)
+    cols["d0"] = rng.normal(10, 5, n_tr + n_te)
+    cols["label"] = rng.integers(0, 2, n_tr + n_te)
+    cols["label2"] = rng.integers(0, 2, n_tr + n_te)
+    df = pd.DataFrame(cols)
+    train_p, test_p = str(tmp_path / "tr.csv"), str(tmp_path / "te.csv")
+    df[:n_tr].to_csv(train_p, index=False)
+    df[n_tr:].to_csv(test_p, index=False)
+
+    raw = {
+        "data_config": {
+            "data_name": "synth",
+            "train_dataset_path": train_p,
+            "test_dataset_path": test_p,
+            "all_columns": ["s0", "s1", "s2", "d0", "label", "label2"],
+            "feature_columns": ["s0", "s1", "s2"],
+            "dense_columns": ["d0"],
+            "label_columns": ["label", "label2"],
+        },
+        "model_config": {"task_name": "mtl", "model_name": "mmoe", "emb": 4,
+                         "task_names": ["a", "b"],
+                         "task_types": ["binary", "binary"]},
+        "optim_config": {}, "training_config": {}, "save_config": {},
+    }
+
+    # reference pipeline
+    from utils.data_utils import ctrdataset as ref_ctrdataset
+
+    import copy as _copy
+    (r_train, r_test, r_mask, r_tr_in, r_te_in, r_lin, r_dnn) = ref_ctrdataset(
+        _copy.deepcopy(raw)
+    )
+
+    # ours
+    from mmlrec_tpu.config import ExperimentConfig
+    from mmlrec_tpu.data import ctrdataset
+
+    ds = ctrdataset(ExperimentConfig.from_dict(_copy.deepcopy(raw)))
+
+    for name in ["s0", "s1", "s2", "d0"]:
+        np.testing.assert_allclose(
+            np.asarray(ds.train_input[name], np.float64),
+            np.asarray(r_tr_in[name].values, np.float64),
+            err_msg=name,
+        )
+    # identical vocab sizes
+    ref_vocabs = {c.name: c.vocabulary_size for c in r_dnn
+                  if hasattr(c, "vocabulary_size")}
+    our_vocabs = {s.feature.name: s.feature.vocabulary_size
+                  for s in ds.layout.sparse_slots}
+    assert ref_vocabs == our_vocabs
+    np.testing.assert_allclose(ds.y_train, r_train[["label", "label2"]].values)
