@@ -16,9 +16,17 @@ None.
 from __future__ import annotations
 
 import argparse
+import os
 import pickle
 
 import numpy as np
+
+if os.environ.get("MMLREC_PLATFORM"):
+    # explicit platform override (the environment may pin a TPU PJRT plugin
+    # that ignores JAX_PLATFORMS; see tests/conftest.py)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["MMLREC_PLATFORM"])
 
 from mmlrec_tpu.config import ExperimentConfig
 from mmlrec_tpu.models import get_model
