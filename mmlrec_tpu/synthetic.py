@@ -17,6 +17,11 @@ from .config import ExperimentConfig
 from .features import DenseFeat, FeatureLayout, SparseFeat
 
 
+def _merged_model_config(overrides, **base):
+    base.update(overrides)
+    return base
+
+
 def make_config(
     task_name: str = "mtl",
     model_name: str = "mmoe",
@@ -61,7 +66,8 @@ def make_config(
             "mask_column": "s0" if task_name != "mtl" else "",
             "scene_feature": "s0" if task_name != "mtl" else "s0",
         },
-        "model_config": dict(
+        "model_config": _merged_model_config(
+            model_overrides,
             task_name=task_name,
             model_name=model_name,
             task="binary",
@@ -85,7 +91,6 @@ def make_config(
             dnn_dropout=0.0,
             dnn_activation="relu",
             use_cka_loss=False,
-            **model_overrides,
         ),
         "optim_config": {
             "lr": lr,
