@@ -212,59 +212,89 @@ class Trainer:
         new_stats = mutated.get("batch_stats", batch_stats)
         return total, (data_loss, new_stats, probs)
 
-    def _make_train_step(self):
+    def _step_body(self, state, batch):
+        """One training step: forward + loss + backward + optimizer update.
+        Pure function of (state, batch); reused by the per-step jit and the
+        scanned whole-epoch jit."""
         tx = self.tx
+        params, batch_stats, opt_state, rng = (
+            state["params"],
+            state["batch_stats"],
+            state["opt_state"],
+            state["rng"],
+        )
+        rng, step_rng = jax.random.split(rng)
 
-        def train_step(state, batch):
-            params, batch_stats, opt_state, rng = (
-                state["params"],
-                state["batch_stats"],
-                state["opt_state"],
-                state["rng"],
-            )
-            rng, step_rng = jax.random.split(rng)
-
-            if self.is_pcgrad:
-                # intended PCGrad semantics: one gradient per task objective
-                # (the reference call site passes a scalar and crashes;
-                # SURVEY §2.4.4).
-                T = self.num_tasks
-                task_grads = []
-                data_loss = 0.0
-                new_stats = batch_stats
-                probs = None
-                for i in range(T):
-                    def task_loss(p, i=i):
-                        total, (dl, ns, pr) = self._loss_terms_single_task(
-                            p, batch_stats, batch, step_rng, i
-                        )
-                        return total, (dl, ns, pr)
-
-                    (l_i, (dl, ns, pr)), g_i = jax.value_and_grad(
-                        task_loss, has_aux=True
-                    )(params)
-                    task_grads.append(g_i)
-                    data_loss = dl  # full multi-head loss (same value per pass)
-                    new_stats, probs = ns, pr
-                grads = pcgrad_merge(task_grads)
-                total_loss = data_loss
-            else:
-                (total_loss, (data_loss, new_stats, probs)), grads = (
-                    jax.value_and_grad(self._loss_terms, has_aux=True)(
-                        params, batch_stats, batch, step_rng, True
+        if self.is_pcgrad:
+            T = self.num_tasks
+            task_grads = []
+            data_loss = 0.0
+            new_stats = batch_stats
+            probs = None
+            for i in range(T):
+                def task_loss(p, i=i):
+                    total, (dl, ns, pr) = self._loss_terms_single_task(
+                        p, batch_stats, batch, step_rng, i
                     )
-                )
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            new_state = {
-                "params": params,
-                "batch_stats": new_stats,
-                "opt_state": opt_state,
-                "rng": rng,
-            }
-            return new_state, total_loss, data_loss, probs
+                    return total, (dl, ns, pr)
 
-        return jax.jit(train_step, donate_argnums=(0,))
+                (l_i, (dl, ns, pr)), g_i = jax.value_and_grad(
+                    task_loss, has_aux=True
+                )(params)
+                task_grads.append(g_i)
+                data_loss = dl
+                new_stats, probs = ns, pr
+            grads = pcgrad_merge(task_grads)
+            total_loss = data_loss
+        else:
+            (total_loss, (data_loss, new_stats, probs)), grads = (
+                jax.value_and_grad(self._loss_terms, has_aux=True)(
+                    params, batch_stats, batch, step_rng, True
+                )
+            )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        new_state = {
+            "params": params,
+            "batch_stats": new_stats,
+            "opt_state": opt_state,
+            "rng": rng,
+        }
+        return new_state, total_loss, data_loss, probs
+
+    def _make_train_step(self):
+        return jax.jit(self._step_body, donate_argnums=(0,))
+
+    def _make_epoch_fn(self):
+        """Whole-epoch jit: the dataset lives on device; a lax.scan gathers
+        each shuffled batch with a device-side take and runs the step body.
+        Removes ALL per-step host work (indexing, H2D copies, dispatch) —
+        the reference pays a host->device copy and a device->host metric
+        sync every batch (basemodel.py:261-331)."""
+
+        def epoch_fn(state, perm, weights, ids, dense, y, dmask):
+            # perm/weights: [steps, batch]; arrays: full dataset on device.
+            # Each step gathers its shuffled batch with a device-side take
+            # (gathers are cheap; measured equal to a single whole-epoch
+            # permutation gather but with ~4x faster compiles).
+            def body(carry, xs):
+                idx, w = xs
+                batch = (
+                    jnp.take(ids, idx, axis=0),
+                    jnp.take(dense, idx, axis=0),
+                    jnp.take(y, idx, axis=0),
+                    jnp.take(dmask, idx, axis=0) if dmask is not None else None,
+                    w,
+                )
+                new_state, total_loss, data_loss, probs = self._step_body(carry, batch)
+                return new_state, (total_loss, data_loss, probs)
+
+            state, (totals, datas, probs) = jax.lax.scan(
+                body, state, (perm, weights)
+            )
+            return state, jnp.sum(totals), jnp.sum(datas), probs
+
+        return jax.jit(epoch_fn, donate_argnums=(0,))
 
     def _loss_terms_single_task(self, params, batch_stats, batch, rng, task_idx):
         mc = self.cfg.model_config
@@ -369,41 +399,77 @@ class Trainer:
         examples_seen = 0
         train_time = 0.0
 
+        # Fast path: whole epoch on device as one scanned jit (no per-step
+        # host work).  Used whenever the dataset fits device memory and no
+        # mesh-specific per-batch sharding is needed.
+        dataset_bytes = ids.nbytes + dense.nbytes + y.nbytes
+        use_epoch_scan = self.mesh is None and dataset_bytes < 4 * 1024**3
+        if use_epoch_scan:
+            d_ids = jnp.asarray(ids)
+            d_dense = jnp.asarray(dense)
+            d_y = jnp.asarray(y)
+            d_dmask = jnp.asarray(dmask) if dmask is not None else None
+            epoch_fn = self._make_epoch_fn()
+
         for epoch in range(initial_epoch, epochs):
             t0 = time.time()
             order = rng_np.permutation(n) if shuffle else np.arange(n)
-            loss_epoch = 0.0
             total_loss_epoch = 0.0
             epoch_probs: List[np.ndarray] = []
             epoch_y: List[np.ndarray] = []
-            for s in range(steps_per_epoch):
-                idx = order[s * batch_size : (s + 1) * batch_size]
-                pad = batch_size - len(idx)
-                weight = np.ones(batch_size, np.float32)
-                if pad:
-                    weight[len(idx) :] = 0.0
-                    idx = np.concatenate([idx, np.zeros(pad, np.int64)])
-                batch = (
-                    jnp.asarray(ids[idx]),
-                    jnp.asarray(dense[idx]),
-                    jnp.asarray(y[idx]),
-                    jnp.asarray(dmask[idx]) if dmask is not None else None,
-                    jnp.asarray(weight),
-                )
-                if self.mesh is not None:
-                    from ..parallel.mesh import shard_batch
 
-                    batch = shard_batch(batch, self.mesh)
-                state, total_loss, data_loss, probs = train_step(state, batch)
-                total_steps += 1
-                examples_seen += int(np.sum(weight))
-                if self.metric_fns:
-                    epoch_probs.append(np.asarray(probs))
-                    epoch_y.append(y[idx])
-                loss_epoch += float(data_loss)
-                total_loss_epoch += float(total_loss)
-                if max_steps and total_steps >= max_steps:
+            steps_this_epoch = steps_per_epoch
+            if max_steps:
+                steps_this_epoch = min(steps_per_epoch, max_steps - total_steps)
+                if steps_this_epoch <= 0:
                     break
+
+            if use_epoch_scan:
+                padded = steps_this_epoch * batch_size
+                idx_full = np.zeros(padded, np.int64)
+                take = min(n, padded)
+                idx_full[:take] = order[:take]
+                w_full = np.zeros(padded, np.float32)
+                w_full[:take] = 1.0
+                perm2d = jnp.asarray(idx_full.reshape(steps_this_epoch, batch_size))
+                w2d = jnp.asarray(w_full.reshape(steps_this_epoch, batch_size))
+                state, total_sum, data_sum, probs = epoch_fn(
+                    state, perm2d, w2d, d_ids, d_dense, d_y, d_dmask
+                )
+                total_steps += steps_this_epoch
+                examples_seen += take
+                total_loss_epoch = float(total_sum)
+                if self.metric_fns:
+                    T_out = probs.shape[-1]
+                    probs_flat = np.asarray(probs).reshape(padded, T_out)[:take]
+                    epoch_probs.append(probs_flat)
+                    epoch_y.append(y[idx_full[:take]])
+            else:
+                for s in range(steps_this_epoch):
+                    idx = order[s * batch_size : (s + 1) * batch_size]
+                    pad = batch_size - len(idx)
+                    weight = np.ones(batch_size, np.float32)
+                    if pad:
+                        weight[len(idx) :] = 0.0
+                        idx = np.concatenate([idx, np.zeros(pad, np.int64)])
+                    batch = (
+                        jnp.asarray(ids[idx]),
+                        jnp.asarray(dense[idx]),
+                        jnp.asarray(y[idx]),
+                        jnp.asarray(dmask[idx]) if dmask is not None else None,
+                        jnp.asarray(weight),
+                    )
+                    if self.mesh is not None:
+                        from ..parallel.mesh import shard_batch
+
+                        batch = shard_batch(batch, self.mesh)
+                    state, total_loss, data_loss, probs = train_step(state, batch)
+                    total_steps += 1
+                    examples_seen += int(np.sum(weight))
+                    if self.metric_fns:
+                        epoch_probs.append(np.asarray(probs))
+                        epoch_y.append(y[idx])
+                    total_loss_epoch += float(total_loss)
 
             jax.block_until_ready(state["params"])
             epoch_time = time.time() - t0
@@ -455,7 +521,17 @@ class Trainer:
                 break
 
         if train_time > 0:
-            self.throughput_examples_per_s = examples_seen / train_time
+            # steady-state throughput: exclude the first (compile) epoch
+            # when more than one epoch ran
+            epoch_times = [h["epoch_s"] for h in self.history]
+            warm_time = sum(epoch_times[1:])
+            if len(epoch_times) > 1 and warm_time > 0:
+                per_epoch = examples_seen / len(epoch_times)
+                self.throughput_examples_per_s = (
+                    per_epoch * (len(epoch_times) - 1) / warm_time
+                )
+            else:
+                self.throughput_examples_per_s = examples_seen / train_time
         self.best_variables = best_state_vars or self.variables
         if self.cfg.save_config.save:
             try:
