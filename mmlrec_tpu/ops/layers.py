@@ -51,6 +51,27 @@ class _PReLU(nn.Module):
         return jnp.where(x >= 0, x, alpha * x)
 
 
+class Dice(nn.Module):
+    """Data-adaptive activation (DIN's Dice).  The reference *names* this
+    activation (model/utils.py:27-29) but never defines the class — calling
+    activation_layer('dice') there raises NameError.  Supplied here:
+        p = sigmoid(batchnorm(x));  out = p * x + (1 - p) * alpha * x
+    """
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        alpha = self.param("alpha", nn.initializers.zeros, (x.shape[-1],))
+        normed = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-8,
+            use_bias=False,
+            use_scale=False,
+        )(x)
+        p = jax.nn.sigmoid(normed)
+        return p * x + (1.0 - p) * alpha * x
+
+
 class MLP(nn.Module):
     """Multi-layer perceptron (reference ``DNN``, model/utils.py:92-161).
 
@@ -88,6 +109,8 @@ class MLP(nn.Module):
             if self.activation is not None and self.activation != "":
                 if self.activation.lower() == "prelu":
                     x = _PReLU(name=f"prelu_{i}")(x)
+                elif self.activation.lower() == "dice":
+                    x = Dice(name=f"dice_{i}")(x, train=train)
                 else:
                     x = activation_fn(self.activation)(x)
             if self.dropout_rate > 0:
@@ -169,6 +192,8 @@ class StackedMLP(nn.Module):
             if self.activation is not None and self.activation != "":
                 if self.activation.lower() == "prelu":
                     x = _PReLU(name=f"prelu_{i}")(x)
+                elif self.activation.lower() == "dice":
+                    x = Dice(name=f"dice_{i}")(x, train=train)
                 else:
                     x = activation_fn(self.activation)(x)
             if self.dropout_rate > 0:

@@ -120,6 +120,33 @@ def multitask_loss(
     return total
 
 
+def per_task_losses(
+    probs: jnp.ndarray,
+    y: jnp.ndarray,
+    sample_weight: jnp.ndarray,
+    loss_names: Sequence[str],
+    task_name: str,
+    num_domains: int,
+    domain_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Per-head sum-reduced losses as a [T] vector (same branch logic as
+    multitask_loss; used by PCGrad/GradNorm)."""
+    num_tasks = probs.shape[-1]
+    fns = [get_loss_fn(n) for n in list(loss_names)[:num_tasks]]
+    if len(fns) < num_tasks:
+        fns = fns + [fns[-1]] * (num_tasks - len(fns))
+    out = []
+    for i in range(num_tasks):
+        w = sample_weight
+        if domain_mask is not None:
+            if task_name == "msl":
+                w = w * domain_mask[:, i]
+            elif task_name == "mtmsl":
+                w = w * domain_mask[:, i % num_domains]
+        out.append(jnp.sum(fns[i](probs[:, i], y[:, i]) * w))
+    return jnp.stack(out)
+
+
 def l2_regularization(params, l2_embedding: float, l2_dnn: float) -> jnp.ndarray:
     """L2 penalty (reference get_regularization_loss, basemodel.py:524-540).
 

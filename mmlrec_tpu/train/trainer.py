@@ -225,7 +225,8 @@ class Trainer:
         )
         rng, step_rng = jax.random.split(rng)
 
-        if self.is_pcgrad:
+        use_gradnorm = bool(self.cfg.model_config.extra.get("use_gradnorm"))
+        if self.is_pcgrad or use_gradnorm:
             T = self.num_tasks
             task_grads = []
             data_loss = 0.0
@@ -244,8 +245,39 @@ class Trainer:
                 task_grads.append(g_i)
                 data_loss = dl
                 new_stats, probs = ns, pr
-            grads = pcgrad_merge(task_grads)
-            total_loss = data_loss
+            if use_gradnorm:
+                from .gradnorm import gradnorm_update
+                from .losses import per_task_losses
+
+                mc = self.cfg.model_config
+                _, _, y_b, dmask_b, weight_b = batch
+                loss_vec = per_task_losses(
+                    probs, y_b, weight_b, self.loss_names, self.task_name,
+                    self.num_domains,
+                    domain_mask=dmask_b if mc.masked_loss else None,
+                )
+                w = state["task_weights"]
+                gn_step = state["gn_step"]
+                init_losses = jnp.where(
+                    gn_step == 0, loss_vec, state["initial_losses"]
+                )
+                # grads of w_i * L_i
+                task_grads = [
+                    jax.tree_util.tree_map(lambda g, wi=w[i]: wi * g, task_grads[i])
+                    for i in range(T)
+                ]
+                grads = jax.tree_util.tree_map(
+                    lambda *gs: sum(gs), *task_grads
+                )
+                new_w, _ = gradnorm_update(
+                    w, loss_vec, init_losses, task_grads,
+                    alpha=float(mc.extra.get("gradnorm_alpha", 1.5)),
+                    lr=float(mc.extra.get("gradnorm_lr", 0.025)),
+                )
+                total_loss = jnp.sum(w * loss_vec)
+            else:
+                grads = pcgrad_merge(task_grads)
+                total_loss = data_loss
         else:
             (total_loss, (data_loss, new_stats, probs)), grads = (
                 jax.value_and_grad(self._loss_terms, has_aux=True)(
@@ -260,6 +292,10 @@ class Trainer:
             "opt_state": opt_state,
             "rng": rng,
         }
+        if use_gradnorm:
+            new_state["task_weights"] = new_w
+            new_state["initial_losses"] = init_losses
+            new_state["gn_step"] = state["gn_step"] + 1
         return new_state, total_loss, data_loss, probs
 
     def _make_train_step(self):
@@ -381,6 +417,11 @@ class Trainer:
             "opt_state": opt_state,
             "rng": jax.random.PRNGKey(self.seed + 1),
         }
+        if self.cfg.model_config.extra.get("use_gradnorm"):
+            T = self.num_tasks
+            state["task_weights"] = jnp.ones((T,), jnp.float32)
+            state["initial_losses"] = jnp.ones((T,), jnp.float32)
+            state["gn_step"] = jnp.zeros((), jnp.int32)
 
         train_step = self._make_train_step()
         steps_per_epoch = (n - 1) // batch_size + 1
