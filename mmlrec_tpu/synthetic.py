@@ -118,16 +118,22 @@ def make_data(
     """Returns (layout, input_dict, y [N, num_label_cols], test_mask)."""
     rng = np.random.default_rng(seed)
     dc, mc = cfg.data_config, cfg.model_config
-    cols = [SparseFeat(f, vocab, mc.emb) for f in dc.feature_columns] + [
+    feature_columns = list(dc.feature_columns)
+    # reference appends scene_feature to the feature list (data_utils.py:49-50)
+    if dc.scene_feature and dc.scene_feature not in feature_columns:
+        feature_columns.append(dc.scene_feature)
+    cols = [SparseFeat(f, vocab, mc.emb) for f in feature_columns] + [
         DenseFeat(f, 1) for f in dc.dense_columns
     ]
     layout = FeatureLayout(cols)
     x: Dict[str, np.ndarray] = {}
-    for f in dc.feature_columns:
+    for f in feature_columns:
         if f == dc.mask_column and mc.task_name != "mtl":
             x[f] = rng.integers(0, dc.num_domains, n)
         else:
             x[f] = rng.integers(0, vocab, n)
+    if dc.mask_column and dc.mask_column not in x and mc.task_name != "mtl":
+        x[dc.mask_column] = rng.integers(0, dc.num_domains, n)
     for f in dc.dense_columns:
         x[f] = rng.random(n).astype(np.float32)
     # labels correlated with features so AUC is learnable
