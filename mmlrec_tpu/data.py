@@ -42,7 +42,107 @@ class CTRDataset:
     test_df: Optional[pd.DataFrame] = None
 
 
-def ctrdataset(config: ExperimentConfig, keep_frames: bool = False) -> CTRDataset:
+def ctrdataset(
+    config: ExperimentConfig, keep_frames: bool = False, backend: str = "auto"
+) -> CTRDataset:
+    """backend: 'pandas' (reference-identical), 'native' (C++ loader,
+    native/fast_csv.cpp), or 'auto' (native when applicable, else pandas).
+
+    The native path is only used for datasets without the reference's
+    string-casting fixups (kuairec/iaac/amazon_new) since those change the
+    label-encoding sort order.
+    """
+    dc, mc = config.data_config, config.model_config
+    train_path = dc.train_dataset_path
+    needs_fixups = any(k in train_path for k in ("kuairec", "iaac", "amazon_new"))
+    if backend == "native" or (backend == "auto" and not needs_fixups):
+        try:
+            return _ctrdataset_native(config)
+        except Exception as e:  # noqa: BLE001
+            if backend == "native":
+                raise
+            print(f"native csv loader unavailable ({e}); using pandas")
+    return _ctrdataset_pandas(config, keep_frames)
+
+
+def _ctrdataset_native(config: ExperimentConfig) -> CTRDataset:
+    from .native import load_csv_columns
+
+    dc, mc = config.data_config, config.model_config
+    feature_columns = list(dc.feature_columns)
+    if dc.scene_feature and dc.scene_feature not in feature_columns:
+        feature_columns.append(dc.scene_feature)
+    dense_columns = list(dc.dense_columns)
+    label_columns = list(dc.label_columns)
+    uniq_labels = list(dict.fromkeys(label_columns))
+    mask_column = dc.mask_column
+    want_mask = mc.task_name in ("msl", "mtmsl") and mask_column != ""
+
+    cols: List[str] = []
+    kinds: List[int] = []
+    for c in feature_columns:
+        cols.append(c)
+        kinds.append(1)
+    for c in dense_columns:
+        cols.append(c)
+        kinds.append(0)
+    for c in uniq_labels:
+        cols.append(c)
+        kinds.append(0)
+    if want_mask and mask_column not in cols:
+        cols.append(mask_column)
+        kinds.append(0)
+
+    data, vocabs, train_rows, rows = load_csv_columns(
+        dc.train_dataset_path, dc.test_dataset_path, cols, kinds
+    )
+
+    # min-max scale dense columns over the joint rows (reference :57-59),
+    # using sklearn MinMaxScaler's exact formula x*scale + (-min*scale)
+    for c in dense_columns:
+        v = data[c]
+        lo, hi = v.min(), v.max()
+        span = hi - lo
+        if span > 0:
+            scale = 1.0 / span
+            data[c] = v * scale + (-lo * scale)
+        else:
+            data[c] = np.zeros_like(v)
+
+    fixlen = [
+        SparseFeat(c, vocabulary_size=vocabs[c], embedding_dim=mc.emb)
+        for c in feature_columns
+    ] + [DenseFeat(c, 1) for c in dense_columns]
+    layout = FeatureLayout(fixlen)
+
+    names = layout.feature_names()
+    train_input = {n: data[n][:train_rows] for n in names}
+    test_input = {n: data[n][train_rows:] for n in names}
+    test_mask = None
+    if want_mask:
+        mask_vals_series = (
+            data[mask_column] if mask_column not in feature_columns else data[mask_column]
+        )
+        train_input[mask_column] = mask_vals_series[:train_rows]
+        test_input[mask_column] = mask_vals_series[train_rows:]
+        test_mask = get_test_mask(
+            mask_vals_series[train_rows:], dc.mask_values, dc.num_domains
+        )
+    y_all = np.stack(
+        [data[c].astype(np.float32) for c in label_columns], axis=1
+    )
+    return CTRDataset(
+        train_input=train_input,
+        test_input=test_input,
+        y_train=y_all[:train_rows],
+        y_test=y_all[train_rows:],
+        test_mask=test_mask,
+        feature_columns=fixlen,
+        layout=layout,
+    )
+
+
+def _ctrdataset_pandas(config: ExperimentConfig, keep_frames: bool = False) -> CTRDataset:
     dc, mc = config.data_config, config.model_config
     all_columns = list(dc.all_columns)
     feature_columns = list(dc.feature_columns)

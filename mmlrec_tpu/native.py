@@ -1,0 +1,128 @@
+"""ctypes bindings for the native CSV loader (native/fast_csv.cpp).
+
+Builds the shared library on first use (``make -C native``) and exposes
+``load_csv_columns`` — joint train+test parse with sklearn-LabelEncoder-
+compatible categorical codes.  Falls back cleanly (raises
+NativeUnavailable) so the pandas path in data.py remains the default when
+no toolchain is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libfastcsv.so")
+_lock = threading.Lock()
+_lib = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> None:
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            check=True,
+            capture_output=True,
+            timeout=300,
+        )
+    except Exception as e:  # noqa: BLE001
+        raise NativeUnavailable(f"could not build libfastcsv: {e}") from e
+
+
+def get_lib():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            _build()
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as e:
+            raise NativeUnavailable(str(e)) from e
+        lib.fc_load.restype = ctypes.c_void_p
+        lib.fc_load.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+        lib.fc_error.restype = ctypes.c_char_p
+        lib.fc_error.argtypes = [ctypes.c_void_p]
+        lib.fc_rows.restype = ctypes.c_int64
+        lib.fc_rows.argtypes = [ctypes.c_void_p]
+        lib.fc_train_rows.restype = ctypes.c_int64
+        lib.fc_train_rows.argtypes = [ctypes.c_void_p]
+        lib.fc_vocab.restype = ctypes.c_int32
+        lib.fc_vocab.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.fc_read_floats.restype = None
+        lib.fc_read_floats.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.fc_read_codes.restype = None
+        lib.fc_read_codes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.fc_free.restype = None
+        lib.fc_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def load_csv_columns(
+    train_path: str,
+    test_path: Optional[str],
+    columns: Sequence[str],
+    kinds: Sequence[int],  # 0 = float, 1 = categorical
+) -> Tuple[Dict[str, np.ndarray], Dict[str, int], int, int]:
+    """Returns (column arrays over the JOINT train+test rows, vocab sizes for
+    categorical columns, train_rows, total_rows)."""
+    lib = get_lib()
+    kinds_arr = (ctypes.c_int32 * len(kinds))(*kinds)
+    handle = lib.fc_load(
+        train_path.encode(),
+        (test_path or "").encode(),
+        "\n".join(columns).encode(),
+        kinds_arr,
+        len(columns),
+    )
+    if not handle:
+        raise NativeUnavailable("fc_load returned null")
+    try:
+        err = lib.fc_error(handle)
+        if err:
+            raise NativeUnavailable(err.decode())
+        rows = lib.fc_rows(handle)
+        train_rows = lib.fc_train_rows(handle)
+        out: Dict[str, np.ndarray] = {}
+        vocabs: Dict[str, int] = {}
+        for i, (name, kind) in enumerate(zip(columns, kinds)):
+            if kind == 0:
+                buf = np.empty(rows, np.float64)
+                lib.fc_read_floats(
+                    handle, i, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+                )
+                out[name] = buf
+            else:
+                buf = np.empty(rows, np.int32)
+                lib.fc_read_codes(
+                    handle, i, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+                )
+                out[name] = buf
+                vocabs[name] = int(lib.fc_vocab(handle, i))
+        return out, vocabs, int(train_rows), int(rows)
+    finally:
+        lib.fc_free(handle)
