@@ -667,6 +667,48 @@ class Trainer:
         self._save_layer_output = value
 
     # ------------------------------------------------------------------
+    # observability (the reference prints only; SURVEY §5)
+    # ------------------------------------------------------------------
+    def dump_history(self, path: str) -> None:
+        """Write the per-epoch training history as JSON lines."""
+        import json
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            for epoch, logs in enumerate(self.history):
+                f.write(json.dumps({"epoch": epoch, **logs}) + "\n")
+
+    def profile(self, x, y, batch_size: int = 256, steps: int = 5,
+                trace_dir: str = "/tmp/mmlrec_trace"):
+        """Capture a jax.profiler trace of `steps` training steps
+        (viewable with TensorBoard / xprof)."""
+        ids, dense = self.pack_inputs(x)
+        yv = self._prepare_y(y)
+        dmask = self._domain_mask_from(x)
+        if self.variables is None:
+            self.variables = self._init_variables(ids[:2], dense[:2])
+        state = {
+            "params": self.variables["params"],
+            "batch_stats": self.variables.get("batch_stats", {}),
+            "opt_state": self.tx.init(self.variables["params"]),
+            "rng": jax.random.PRNGKey(self.seed + 2),
+        }
+        step = self._make_train_step()
+        b = min(batch_size, len(ids))
+        batch = (
+            jnp.asarray(ids[:b]), jnp.asarray(dense[:b]), jnp.asarray(yv[:b]),
+            jnp.asarray(dmask[:b]) if dmask is not None else None,
+            jnp.ones((b,), jnp.float32),
+        )
+        state, *_ = step(state, batch)  # compile outside the trace
+        jax.block_until_ready(state["params"])
+        with jax.profiler.trace(trace_dir):
+            for _ in range(steps):
+                state, *_ = step(state, batch)
+            jax.block_until_ready(state["params"])
+        return trace_dir
+
+    # ------------------------------------------------------------------
     # checkpointing (the reference defines save_config but never reads it;
     # SURVEY §5 — honored here via orbax)
     # ------------------------------------------------------------------
@@ -677,6 +719,9 @@ class Trainer:
             os.path.join(path, f"{self.model_name}_{self.task_name}_seed{self.seed}")
         )
         ckpt = self.best_variables or self.variables
+        # canonicalize: drop empty collections so save/restore templates
+        # agree regardless of whether fit() has run
+        ckpt = {k: v for k, v in ckpt.items() if v}
         checkpointer = ocp.StandardCheckpointer()
         checkpointer.save(path, ckpt, force=True)
         checkpointer.wait_until_finished()
@@ -687,7 +732,12 @@ class Trainer:
 
         if self.variables is None:
             raise ValueError("call fit() or init variables before restore")
+        template = {k: v for k, v in self.variables.items() if v}
         checkpointer = ocp.StandardCheckpointer()
-        self.variables = checkpointer.restore(path, self.variables)
+        restored = checkpointer.restore(path, template)
+        for k in self.variables:
+            if k not in restored:
+                restored[k] = self.variables[k]
+        self.variables = restored
         self.best_variables = self.variables
         return self
