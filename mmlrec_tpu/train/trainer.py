@@ -366,6 +366,29 @@ class Trainer:
 
         return jax.jit(eval_step)
 
+    def _make_predict_fn(self):
+        """Scanned whole-dataset inference: [steps, bs, ...] batches on
+        device, one dispatch (vs the reference's per-batch loop with a
+        device->host sync each batch, basemodel.py:431-444)."""
+
+        def predict_fn(variables, ids3, dense3, dmask3):
+            mc = self.cfg.model_config
+
+            def body(_, xs):
+                b_ids, b_dense, b_dm = xs
+                model_mask = (
+                    b_dm if (mc.masked_loss and b_dm is not None) else None
+                )
+                probs = self.model.apply(
+                    variables, b_ids, b_dense, model_mask, train=False
+                )
+                return None, probs
+
+            _, probs = jax.lax.scan(body, None, (ids3, dense3, dmask3))
+            return probs
+
+        return jax.jit(predict_fn)
+
     # ------------------------------------------------------------------
     # fit
     # ------------------------------------------------------------------
@@ -588,9 +611,30 @@ class Trainer:
         self, ids, dense, dmask, batch_size: int, collect_intermediates: bool = False
     ):
         variables = self.best_variables or self.variables
-        eval_step = self._make_eval_step()
         n = len(ids)
         steps = (n - 1) // batch_size + 1
+
+        if not collect_intermediates and self.mesh is None:
+            # scanned fast path: pad to steps*batch and run one dispatch
+            padded = steps * batch_size
+            pad = padded - n
+
+            def pad_rows(a):
+                if a is None:
+                    return None
+                if pad:
+                    a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+                return jnp.asarray(
+                    a.reshape(steps, batch_size, *a.shape[1:])
+                )
+
+            probs = self._make_predict_fn()(
+                variables, pad_rows(ids), pad_rows(dense), pad_rows(dmask)
+            )
+            out = np.asarray(probs).reshape(padded, -1)[:n].astype(np.float64)
+            return out
+
+        eval_step = self._make_eval_step()
         preds = []
         inters: Dict[str, List[np.ndarray]] = {}
         for s in range(steps):
