@@ -86,7 +86,7 @@ def make_config(train_p, test_p, model_name):
             "metrics": ["auc"], "early_stop": 3,
         },
         "training_config": {"train_batch_size": 1024, "test_batch_size": 1024,
-                            "epochs": 6},
+                            "epochs": 10},
         "save_config": {"save": False, "save_layer_output": False},
     }
 

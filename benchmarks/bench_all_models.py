@@ -1,0 +1,80 @@
+"""Per-model training throughput on AliExpress-MSL shapes (one JSON line per
+model; full jitted train step, chained over 30 iterations)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bench_model(name: str, batch_size: int = 4096, iters: int = 30):
+    import jax
+    import jax.numpy as jnp
+
+    from mmlrec_tpu.models import get_model
+    from mmlrec_tpu.synthetic import aliexpress_like_config, make_data
+    from mmlrec_tpu.train import Trainer
+
+    kw = {}
+    if name in ("aitm", "esmm", "escm"):
+        # 2-task families: run MTL (AITM/ESMM hard-require 2 tasks)
+        cfg = aliexpress_like_config(name, task_name="mtl", num_tasks=2, **kw)
+    else:
+        cfg = aliexpress_like_config(name, **kw)
+    layout, x, y, _ = make_data(cfg, n=batch_size, seed=0)
+    model = get_model(name, layout, cfg)
+    trainer = Trainer(model, seed=0).compile()
+    ids_np, dense_np = trainer.pack_inputs(x)
+    y2 = trainer._prepare_y(y)
+    dmask = trainer._domain_mask_from(x)
+    batch = (
+        jnp.asarray(ids_np),
+        jnp.asarray(dense_np),
+        jnp.asarray(y2),
+        jnp.asarray(dmask) if dmask is not None else None,
+        jnp.ones((batch_size,), jnp.float32),
+    )
+    trainer.variables = trainer._init_variables(ids_np[:2], dense_np[:2])
+    state = {
+        "params": trainer.variables["params"],
+        "batch_stats": trainer.variables.get("batch_stats", {}),
+        "opt_state": trainer.tx.init(trainer.variables["params"]),
+        "rng": jax.random.PRNGKey(1),
+    }
+    step = trainer._make_train_step()
+    for _ in range(3):
+        state, *_ = step(state, batch)
+    jax.block_until_ready(state["params"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, *_ = step(state, batch)
+    jax.block_until_ready(state["params"])
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+def main():
+    names = [
+        "sharedbottom", "mlp", "mmoe", "hmoe", "ple", "cross_stitch", "esmm",
+        "escm", "aitm", "snr_trans", "mssm", "star", "apg", "pepnet",
+    ]
+    results = {}
+    for name in names:
+        try:
+            eps = bench_model(name)
+            results[name] = round(eps, 0)
+            print(json.dumps({"model": name, "examples_per_s": round(eps, 0)}),
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"model": name, "error": str(e)[:200]}), flush=True)
+    print(json.dumps({"summary": results}))
+
+
+if __name__ == "__main__":
+    main()

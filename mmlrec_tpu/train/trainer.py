@@ -226,7 +226,8 @@ class Trainer:
         rng, step_rng = jax.random.split(rng)
 
         use_gradnorm = bool(self.cfg.model_config.extra.get("use_gradnorm"))
-        if self.is_pcgrad or use_gradnorm:
+        use_cagrad = bool(self.cfg.model_config.extra.get("use_cagrad"))
+        if self.is_pcgrad or use_gradnorm or use_cagrad:
             T = self.num_tasks
             task_grads = []
             data_loss = 0.0
@@ -275,6 +276,14 @@ class Trainer:
                     lr=float(mc.extra.get("gradnorm_lr", 0.025)),
                 )
                 total_loss = jnp.sum(w * loss_vec)
+            elif use_cagrad:
+                from .cagrad import cagrad_merge
+
+                grads = cagrad_merge(
+                    task_grads,
+                    alpha=float(self.cfg.model_config.extra.get("cagrad_alpha", 0.5)),
+                )
+                total_loss = data_loss
             else:
                 grads = pcgrad_merge(task_grads)
                 total_loss = data_loss
