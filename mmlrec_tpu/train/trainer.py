@@ -307,10 +307,24 @@ class Trainer:
             new_state["gn_step"] = state["gn_step"] + 1
         return new_state, total_loss, data_loss, probs
 
+    def _cached(self, key: str, maker):
+        """jit wrappers must be created once per Trainer — a fresh jit
+        closure per call would retrace/recompile on every invocation."""
+        fn = self._step_fns.get(key)
+        if fn is None:
+            fn = maker()
+            self._step_fns[key] = fn
+        return fn
+
     def _make_train_step(self):
-        return jax.jit(self._step_body, donate_argnums=(0,))
+        return self._cached(
+            "train_step", lambda: jax.jit(self._step_body, donate_argnums=(0,))
+        )
 
     def _make_epoch_fn(self):
+        return self._cached("epoch_fn", self._build_epoch_fn)
+
+    def _build_epoch_fn(self):
         """Whole-epoch jit: the dataset lives on device; a lax.scan gathers
         each shuffled batch with a device-side take and runs the step body.
         Removes ALL per-step host work (indexing, H2D copies, dispatch) —
@@ -366,6 +380,9 @@ class Trainer:
         return total, (data_loss, mutated.get("batch_stats", batch_stats), probs)
 
     def _make_eval_step(self):
+        return self._cached("eval_step", self._build_eval_step)
+
+    def _build_eval_step(self):
         def eval_step(variables, ids, dense, dmask):
             mc = self.cfg.model_config
             model_mask = dmask if (mc.masked_loss and dmask is not None) else None
@@ -376,6 +393,9 @@ class Trainer:
         return jax.jit(eval_step)
 
     def _make_predict_fn(self):
+        return self._cached("predict_fn", self._build_predict_fn)
+
+    def _build_predict_fn(self):
         """Scanned whole-dataset inference: [steps, bs, ...] batches on
         device, one dispatch (vs the reference's per-batch loop with a
         device->host sync each batch, basemodel.py:431-444)."""
