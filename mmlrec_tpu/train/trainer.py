@@ -432,6 +432,7 @@ class Trainer:
         validation_data=None,
         shuffle: bool = True,
         verbose: int = 1,
+        resume_from: Optional[str] = None,
     ) -> "Trainer":
         mc, oc, tc = self.cfg.model_config, self.cfg.optim_config, self.cfg.training_config
         batch_size = batch_size or 256
@@ -474,6 +475,11 @@ class Trainer:
             state["task_weights"] = jnp.ones((T,), jnp.float32)
             state["initial_losses"] = jnp.ones((T,), jnp.float32)
             state["gn_step"] = jnp.zeros((), jnp.int32)
+
+        if resume_from is not None:
+            state, initial_epoch = self._restore_training_state(resume_from, state)
+            if verbose:
+                print(f"resumed from {resume_from} at epoch {initial_epoch}")
 
         train_step = self._make_train_step()
         steps_per_epoch = (n - 1) // batch_size + 1
@@ -613,6 +619,7 @@ class Trainer:
             if max_steps and total_steps >= max_steps:
                 break
 
+        self._train_state = state
         if train_time > 0:
             # steady-state throughput: exclude the first (compile) epoch
             # when more than one epoch ran
@@ -785,6 +792,45 @@ class Trainer:
     # checkpointing (the reference defines save_config but never reads it;
     # SURVEY §5 — honored here via orbax)
     # ------------------------------------------------------------------
+    # -- full training-state checkpointing (params + optimizer state +
+    #    epoch) for mid-run resume; the reference has no on-disk
+    #    checkpointing at all (SURVEY §5) --
+    def _state_ckpt_dir(self, path: str) -> str:
+        return os.path.abspath(
+            os.path.join(
+                path, f"{self.model_name}_{self.task_name}_seed{self.seed}_state"
+            )
+        )
+
+    def save_training_state(self, path: str, epoch: Optional[int] = None) -> str:
+        import orbax.checkpoint as ocp
+
+        if getattr(self, "_train_state", None) is None:
+            raise ValueError("no training state; call fit() first")
+        epoch = epoch if epoch is not None else len(self.history)
+        payload = {
+            "state": {k: v for k, v in self._train_state.items() if v is not None},
+            "epoch": jnp.asarray(epoch, jnp.int32),
+        }
+        full = self._state_ckpt_dir(path)
+        checkpointer = ocp.StandardCheckpointer()
+        checkpointer.save(full, payload, force=True)
+        checkpointer.wait_until_finished()
+        return full
+
+    def _restore_training_state(self, path: str, template_state):
+        import orbax.checkpoint as ocp
+
+        template = {
+            "state": {k: v for k, v in template_state.items() if v is not None},
+            "epoch": jnp.zeros((), jnp.int32),
+        }
+        checkpointer = ocp.StandardCheckpointer()
+        restored = checkpointer.restore(path, template)
+        state = dict(template_state)
+        state.update(restored["state"])
+        return state, int(restored["epoch"])
+
     def save_checkpoint(self, path: str):
         import orbax.checkpoint as ocp
 

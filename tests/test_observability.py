@@ -70,3 +70,16 @@ def test_multihost_helpers_single_process():
     assert g[1] is None
     assert g[0].shape == (64, 4)
     assert "data" in str(g[0].sharding.spec)
+
+
+def test_full_training_state_resume(tmp_path):
+    """Resume continues from saved params + optimizer state + epoch."""
+    tr, x, y = _trainer(epochs=2)
+    tr.fit(x, y, batch_size=128, epochs=2, verbose=0)
+    ckpt = tr.save_training_state(str(tmp_path))
+
+    tr2, x2, y2 = _trainer()
+    tr2.fit(x2, y2, batch_size=128, epochs=4, resume_from=ckpt, verbose=0)
+    # resumed at epoch 2 -> only 2 more epochs recorded
+    assert len(tr2.history) == 2
+    assert np.isfinite(tr2.history[-1]["loss"])
