@@ -321,39 +321,86 @@ class Trainer:
             "train_step", lambda: jax.jit(self._step_body, donate_argnums=(0,))
         )
 
-    def _make_epoch_fn(self):
-        return self._cached("epoch_fn", self._build_epoch_fn)
+    # -- device-resident stepping --------------------------------------
+    #
+    # Measured on the v5e (docs/perf_notes.md): XLA device loops
+    # (lax.scan / fori_loop) execute this train step at ~1 ms/iteration
+    # while CHAINED per-step dispatches of the identical body run at
+    # ~0.15 ms/step, and a random-row gather of one 4096-batch costs
+    # ~0.7-1 ms per gathered array (per-row bound).  The fit fast path
+    # therefore uses chained dispatches over a device-resident dataset:
+    #
+    # * the whole dataset is packed into ONE combined f32 matrix
+    #   [N, S + Dd + T (+D)] (ids are exact in f32 below 2^24) so a
+    #   full-shuffle batch costs a single gather;
+    # * ``shuffle='block'`` instead pre-shuffles rows once and slices
+    #   contiguous batches (dynamic_slice ~ microseconds), shuffling only
+    #   the batch order per epoch — near-identical training dynamics on
+    #   i.i.d. tabular data at ~5x the full-shuffle step rate.
 
-    def _build_epoch_fn(self):
-        """Whole-epoch jit: the dataset lives on device; a lax.scan gathers
-        each shuffled batch with a device-side take and runs the step body.
-        Removes ALL per-step host work (indexing, H2D copies, dispatch) —
-        the reference pays a host->device copy and a device->host metric
-        sync every batch (basemodel.py:261-331)."""
+    def _stage_dataset(self, ids, dense, y, dmask):
+        parts = [ids.astype(np.float32), dense, y]
+        if dmask is not None:
+            parts.append(dmask)
+        combined = np.concatenate(parts, axis=1).astype(np.float32)
+        self._stage_dims = (
+            ids.shape[1],
+            dense.shape[1],
+            y.shape[1],
+            dmask.shape[1] if dmask is not None else 0,
+        )
+        return jnp.asarray(combined)
 
-        def epoch_fn(state, perm, weights, ids, dense, y, dmask):
-            # perm/weights: [steps, batch]; arrays: full dataset on device.
-            # Each step gathers its shuffled batch with a device-side take
-            # (gathers are cheap; measured equal to a single whole-epoch
-            # permutation gather but with ~4x faster compiles).
-            def body(carry, xs):
-                idx, w = xs
-                batch = (
-                    jnp.take(ids, idx, axis=0),
-                    jnp.take(dense, idx, axis=0),
-                    jnp.take(y, idx, axis=0),
-                    jnp.take(dmask, idx, axis=0) if dmask is not None else None,
-                    w,
-                )
-                new_state, total_loss, data_loss, probs = self._step_body(carry, batch)
-                return new_state, (total_loss, data_loss, probs)
+    def _split_staged(self, rows, weight):
+        S, Dd, T, Dm = self._stage_dims
+        ids = rows[:, :S].astype(jnp.int32)
+        dense = rows[:, S : S + Dd]
+        y = rows[:, S + Dd : S + Dd + T]
+        dmask = rows[:, S + Dd + T :] if Dm else None
+        return (ids, dense, y, dmask, weight)
 
-            state, (totals, datas, probs) = jax.lax.scan(
-                body, state, (perm, weights)
+    # The hot loop must pass ZERO host-side values: a python scalar argument
+    # to a jitted call costs ~9 ms through this environment's TPU tunnel
+    # (synchronous constant transfer; docs/perf_notes.md).  The step index
+    # therefore lives in the train state as a device counter and the epoch's
+    # shuffled indices/weights are transferred once per epoch.
+
+    def _make_gather_step(self):
+        def gather_step(state, staged, idx2d, w2d):
+            steps, bs = idx2d.shape
+            s = state["epoch_step"] % steps
+            idx = jax.lax.dynamic_slice(idx2d, (s, 0), (1, bs))[0]
+            w = jax.lax.dynamic_slice(w2d, (s, 0), (1, bs))[0]
+            rows = jnp.take(staged, idx, axis=0)
+            new_state, tl, dl, probs = self._step_body(
+                state, self._split_staged(rows, w)
             )
-            return state, jnp.sum(totals), jnp.sum(datas), probs
+            new_state["epoch_step"] = state["epoch_step"] + 1
+            return new_state, tl, dl, probs
 
-        return jax.jit(epoch_fn, donate_argnums=(0,))
+        return self._cached(
+            "gather_step", lambda: jax.jit(gather_step, donate_argnums=(0,))
+        )
+
+    def _make_slice_step(self, batch_size: int):
+        def slice_step(state, staged, starts, w2d):
+            steps = starts.shape[0]
+            s = state["epoch_step"] % steps
+            start = jax.lax.dynamic_slice(starts, (s,), (1,))[0]
+            w = jax.lax.dynamic_slice(w2d, (s, 0), (1, batch_size))[0]
+            rows = jax.lax.dynamic_slice(
+                staged, (start, 0), (batch_size, staged.shape[1])
+            )
+            new_state, tl, dl, probs = self._step_body(
+                state, self._split_staged(rows, w)
+            )
+            new_state["epoch_step"] = state["epoch_step"] + 1
+            return new_state, tl, dl, probs
+
+        return self._cached(
+            f"slice_step_{batch_size}",
+            lambda: jax.jit(slice_step, donate_argnums=(0,)),
+        )
 
     def _loss_terms_single_task(self, params, batch_stats, batch, rng, task_idx):
         mc = self.cfg.model_config
@@ -498,21 +545,40 @@ class Trainer:
         examples_seen = 0
         train_time = 0.0
 
-        # Fast path: whole epoch on device as one scanned jit (no per-step
-        # host work).  Used whenever the dataset fits device memory and no
-        # mesh-specific per-batch sharding is needed.
+        # Fast path: device-resident dataset + chained per-step dispatches
+        # (see the comment above _stage_dataset for the measurements that
+        # drive this design).  Used whenever the dataset fits device memory
+        # and no mesh-specific per-batch sharding is needed.
         dataset_bytes = ids.nbytes + dense.nbytes + y.nbytes
-        use_epoch_scan = self.mesh is None and dataset_bytes < 4 * 1024**3
-        if use_epoch_scan:
-            d_ids = jnp.asarray(ids)
-            d_dense = jnp.asarray(dense)
-            d_y = jnp.asarray(y)
-            d_dmask = jnp.asarray(dmask) if dmask is not None else None
-            epoch_fn = self._make_epoch_fn()
+        use_device_data = self.mesh is None and dataset_bytes * 2 < 4 * 1024**3
+        block_mode = shuffle == "block"
+        if use_device_data:
+            state["epoch_step"] = jnp.zeros((), jnp.int32)
+            if block_mode:
+                # pre-shuffle rows once so fixed batch composition is random
+                pre = rng_np.permutation(n)
+                ids, dense, y = ids[pre], dense[pre], y[pre]
+                dmask = dmask[pre] if dmask is not None else None
+                pad_tail = (steps_per_epoch * batch_size) - n
+                if pad_tail:
+                    rep = lambda a: np.concatenate([a, np.repeat(a[:1], pad_tail, 0)])
+                    staged = self._stage_dataset(
+                        rep(ids), rep(dense), rep(y),
+                        rep(dmask) if dmask is not None else None,
+                    )
+                else:
+                    staged = self._stage_dataset(ids, dense, y, dmask)
+                step_dev = self._make_slice_step(batch_size)
+                block_w = np.ones((steps_per_epoch, batch_size), np.float32)
+                if pad_tail:
+                    block_w[-1, batch_size - pad_tail :] = 0.0
+            else:
+                staged = self._stage_dataset(ids, dense, y, dmask)
+                step_dev = self._make_gather_step()
 
         for epoch in range(initial_epoch, epochs):
             t0 = time.time()
-            order = rng_np.permutation(n) if shuffle else np.arange(n)
+            order = rng_np.permutation(n) if shuffle is True else np.arange(n)
             total_loss_epoch = 0.0
             epoch_probs: List[np.ndarray] = []
             epoch_y: List[np.ndarray] = []
@@ -523,26 +589,69 @@ class Trainer:
                 if steps_this_epoch <= 0:
                     break
 
-            if use_epoch_scan:
-                padded = steps_this_epoch * batch_size
-                idx_full = np.zeros(padded, np.int64)
-                take = min(n, padded)
-                idx_full[:take] = order[:take]
-                w_full = np.zeros(padded, np.float32)
-                w_full[:take] = 1.0
-                perm2d = jnp.asarray(idx_full.reshape(steps_this_epoch, batch_size))
-                w2d = jnp.asarray(w_full.reshape(steps_this_epoch, batch_size))
-                state, total_sum, data_sum, probs = epoch_fn(
-                    state, perm2d, w2d, d_ids, d_dense, d_y, d_dmask
-                )
+            if use_device_data:
+                loss_refs = []
+                prob_refs = []
+                # fresh device zero each epoch (the previous one was donated)
+                state["epoch_step"] = jnp.zeros((), jnp.int32)
+                if block_mode:
+                    batch_order = (
+                        rng_np.permutation(steps_per_epoch)[:steps_this_epoch]
+                        if shuffle
+                        else np.arange(steps_this_epoch)
+                    )
+                    starts_dev = jnp.asarray(
+                        (batch_order * batch_size).astype(np.int32)
+                    )
+                    w2d_dev = jnp.asarray(block_w[batch_order])
+                    for s in range(steps_this_epoch):
+                        state, total_loss, data_loss, probs = step_dev(
+                            state, staged, starts_dev, w2d_dev
+                        )
+                        loss_refs.append(total_loss)
+                        if self.metric_fns:
+                            prob_refs.append(probs)
+                    valid = block_w[batch_order].reshape(-1) > 0
+                    host_rows = (
+                        np.arange(steps_per_epoch * batch_size)
+                        .reshape(steps_per_epoch, batch_size)[batch_order]
+                        .reshape(-1)[valid]
+                    )
+                    take = int(valid.sum())
+                else:
+                    padded = steps_this_epoch * batch_size
+                    idx_full = np.zeros(padded, np.int64)
+                    take = min(n, padded)
+                    idx_full[:take] = order[:take]
+                    w_full = np.zeros(padded, np.float32)
+                    w_full[:take] = 1.0
+                    idx2d_dev = jnp.asarray(
+                        idx_full.reshape(steps_this_epoch, batch_size).astype(np.int32)
+                    )
+                    w2d_dev = jnp.asarray(
+                        w_full.reshape(steps_this_epoch, batch_size)
+                    )
+                    for s in range(steps_this_epoch):
+                        state, total_loss, data_loss, probs = step_dev(
+                            state, staged, idx2d_dev, w2d_dev
+                        )
+                        loss_refs.append(total_loss)
+                        if self.metric_fns:
+                            prob_refs.append(probs)
+                    valid = None
+                    host_rows = idx_full[:take]
+
                 total_steps += steps_this_epoch
                 examples_seen += take
-                total_loss_epoch = float(total_sum)
-                if self.metric_fns:
-                    T_out = probs.shape[-1]
-                    probs_flat = np.asarray(probs).reshape(padded, T_out)[:take]
+                total_loss_epoch = float(np.sum(np.asarray(jnp.stack(loss_refs))))
+                if self.metric_fns and prob_refs:
+                    probs_flat = np.asarray(jnp.concatenate(prob_refs, axis=0))
+                    if valid is not None:
+                        probs_flat = probs_flat[valid]
+                    else:
+                        probs_flat = probs_flat[:take]
                     epoch_probs.append(probs_flat)
-                    epoch_y.append(y[idx_full[:take]])
+                    epoch_y.append(y[host_rows])
             else:
                 for s in range(steps_this_epoch):
                     idx = order[s * batch_size : (s + 1) * batch_size]
@@ -809,7 +918,11 @@ class Trainer:
             raise ValueError("no training state; call fit() first")
         epoch = epoch if epoch is not None else len(self.history)
         payload = {
-            "state": {k: v for k, v in self._train_state.items() if v is not None},
+            "state": {
+                k: v
+                for k, v in self._train_state.items()
+                if v is not None and k != "epoch_step"  # transient counter
+            },
             "epoch": jnp.asarray(epoch, jnp.int32),
         }
         full = self._state_ckpt_dir(path)

@@ -91,7 +91,17 @@ def _write_dataset(tmp_path, task_name="mtl", n_tr=600, n_te=240, num_domains=2)
 
 
 def _run_main(argv):
-    import main as main_mod
+    # import by explicit path: other tests put the reference repo (which has
+    # its own main.py) on sys.path
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "mmlrec_main", os.path.join(repo, "main.py")
+    )
+    main_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(main_mod)
 
     old = sys.argv
     sys.argv = ["main.py"] + argv
