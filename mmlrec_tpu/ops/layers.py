@@ -385,8 +385,13 @@ class SNRGate(nn.Module):
         if self.freeze_trans_ref_faithful:
             trans = jax.lax.stop_gradient(trans)
 
+        # clamp: alpha is trainable and unconstrained; log(alpha<=0) would
+        # NaN (the reference would NaN identically at snr_trans.py:40 —
+        # u/alpha are registered params there)
+        alpha_safe = jnp.maximum(alpha[0], 1e-8)
+        u_safe = jnp.clip(u, self.e, 1.0 - self.e)
         s = jax.nn.sigmoid(
-            jnp.log(u) - jnp.log1p(-u) + jnp.log(alpha[0]) / self.beta
+            jnp.log(u_safe) - jnp.log1p(-u_safe) + jnp.log(alpha_safe) / self.beta
         )
         s_ = s * (self.epsilon - self.gamma) + self.gamma
         z = jnp.clip(s_, 0.0, 1.0)
