@@ -24,8 +24,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 N_TRAIN, N_TEST = 30000, 10000
-SEEDS = [0, 2]
-MODELS = ["sharedbottom", "mmoe"]
+SEEDS = [0, 2, 4, 8]
+MODELS = ["sharedbottom", "mmoe", "esmm", "ple"]
 
 
 def make_csvs(tmpdir: str):
@@ -102,6 +102,8 @@ def run_reference(config, seed):
     from utils.data_utils import ctrdataset as ref_ctrdataset
     from model.mmoe import MMOE as RefMMOE
     from model.sharedbottom import SharedBottom as RefSB
+    from model.esmm import ESMM as RefESMM
+    from model.ple import PLE as RefPLE
 
     random.seed(seed)
     np.random.seed(seed)
@@ -110,7 +112,7 @@ def run_reference(config, seed):
     cfg = copy.deepcopy(config)
     train, test, _, tr_in, te_in, _, dnn_cols = ref_ctrdataset(cfg)
     name = cfg["model_config"]["model_name"]
-    cls = {"mmoe": RefMMOE, "sharedbottom": RefSB}[name]
+    cls = {"mmoe": RefMMOE, "sharedbottom": RefSB, "esmm": RefESMM, "ple": RefPLE}[name]
     model = cls(dnn_cols, device="cpu", config=cfg)
     model.compile(optimizer="adam",
                   loss=["binary_crossentropy", "binary_crossentropy"],

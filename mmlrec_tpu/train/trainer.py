@@ -55,7 +55,14 @@ class Trainer:
         model: RecModel,
         seed: int = 0,
         mesh=None,
+        debug: bool = False,
     ):
+        """debug=True enables jax NaN checking (jax_debug_nans) and disables
+        buffer donation so intermediate state survives for inspection
+        (SURVEY §5: the reference has no sanitizer/debug mode at all)."""
+        self.debug = debug
+        if debug:
+            jax.config.update("jax_debug_nans", True)
         self.model = model
         self.cfg: ExperimentConfig = model.cfg
         self.layout = model.layout
@@ -307,6 +314,10 @@ class Trainer:
             new_state["gn_step"] = state["gn_step"] + 1
         return new_state, total_loss, data_loss, probs
 
+    @property
+    def _donate(self):
+        return () if self.debug else (0,)
+
     def _cached(self, key: str, maker):
         """jit wrappers must be created once per Trainer — a fresh jit
         closure per call would retrace/recompile on every invocation."""
@@ -318,7 +329,7 @@ class Trainer:
 
     def _make_train_step(self):
         return self._cached(
-            "train_step", lambda: jax.jit(self._step_body, donate_argnums=(0,))
+            "train_step", lambda: jax.jit(self._step_body, donate_argnums=self._donate)
         )
 
     # -- device-resident stepping --------------------------------------
@@ -379,7 +390,7 @@ class Trainer:
             return new_state, tl, dl, probs
 
         return self._cached(
-            "gather_step", lambda: jax.jit(gather_step, donate_argnums=(0,))
+            "gather_step", lambda: jax.jit(gather_step, donate_argnums=self._donate)
         )
 
     def _make_slice_step(self, batch_size: int):
@@ -399,7 +410,7 @@ class Trainer:
 
         return self._cached(
             f"slice_step_{batch_size}",
-            lambda: jax.jit(slice_step, donate_argnums=(0,)),
+            lambda: jax.jit(slice_step, donate_argnums=self._donate),
         )
 
     def _loss_terms_single_task(self, params, batch_stats, batch, rng, task_idx):
