@@ -108,7 +108,6 @@ class Trainer:
         if isinstance(x, tuple) and len(x) == 2:
             return np.asarray(x[0], np.int32), np.asarray(x[1], np.float32)
         n = None
-        id_cols = np.zeros((0, 0), np.int32)
         ids_parts: List[np.ndarray] = []
         for slot in self.layout.sparse_slots:
             col = np.asarray(x[slot.feature.name]).reshape(-1, 1)
@@ -555,6 +554,7 @@ class Trainer:
         total_steps = 0
         examples_seen = 0
         train_time = 0.0
+        val_dev = None
 
         # Fast path: device-resident dataset + chained per-step dispatches
         # (see the comment above _stage_dataset for the measurements that
@@ -713,7 +713,17 @@ class Trainer:
                 "batch_stats": state["batch_stats"],
             }
             if val is not None:
-                val_result = self._evaluate_packed(*val, batch_size=batch_size)
+                # stage the (fixed) validation tensors on device once
+                if val_dev is None and self.mesh is None:
+                    val_dev = self._prepare_eval_tensors(
+                        val[0], val[1], val[3], batch_size
+                    )
+                if val_dev is not None:
+                    val_result = self._evaluate_prepared(
+                        self.variables, val_dev, val[2]
+                    )
+                else:
+                    val_result = self._evaluate_packed(*val, batch_size=batch_size)
                 for k, v in val_result.items():
                     logs[f"val_{k}"] = v
                 auc = val_result.get("auc", 0.0)
@@ -831,6 +841,30 @@ class Trainer:
         if collect_intermediates:
             return out, {k: np.concatenate(v).astype(np.float64) for k, v in inters.items()}
         return out
+
+    def _prepare_eval_tensors(self, ids, dense, dmask, batch_size: int):
+        """Pad + reshape fixed eval arrays to [steps, bs, ...] device
+        tensors once (repeated per-epoch uploads are wasted transfers)."""
+        n = len(ids)
+        steps = (n - 1) // batch_size + 1
+        pad = steps * batch_size - n
+
+        def prep(a):
+            if a is None:
+                return None
+            if pad:
+                a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+            return jnp.asarray(a.reshape(steps, batch_size, *a.shape[1:]))
+
+        return (prep(ids), prep(dense), prep(dmask), n)
+
+    def _evaluate_prepared(self, variables, val_dev, y) -> Dict[str, float]:
+        ids3, dense3, dmask3, n = val_dev
+        probs = self._make_predict_fn()(variables, ids3, dense3, dmask3)
+        preds = np.asarray(probs).reshape(-1, probs.shape[-1])[:n].astype(np.float64)
+        if self.model_name in ("escm", "escm_dr"):
+            preds = preds[:, [0, 2]]
+        return regime_eval(self.metric_fns, y, preds, self.task_name, self.num_domains)
 
     def predict(self, x, batch_size: int = 256):
         """Reference basemodel.py:395-457; escm keeps [pCTR, pCTCVR] columns
