@@ -92,6 +92,7 @@ def multitask_loss(
     num_domains: int,
     domain_mask: Optional[jnp.ndarray] = None,
     model_name: str = "",
+    loss_weights: Optional[Sequence[float]] = None,
 ) -> jnp.ndarray:
     """Total training loss for one batch.
 
@@ -99,6 +100,8 @@ def multitask_loss(
     - msl   + mask:  per-head loss weighted by domain_mask[:, i]   (:274-275)
     - mtmsl + mask:  head i weighted by domain_mask[:, i % D]      (:276-282)
     - escm: see escm_loss                                          (:284-292)
+    - loss_weights: per-head scalar weights — a config key the reference
+      defines but never reads (SURVEY §2.4.5); honored when provided.
     """
     num_tasks = probs.shape[-1] if model_name not in ("escm", "escm_dr") else y.shape[-1]
     if model_name in ("escm", "escm_dr"):
@@ -116,7 +119,10 @@ def multitask_loss(
                 w = w * domain_mask[:, i]
             elif task_name == "mtmsl":
                 w = w * domain_mask[:, i % num_domains]
-        total = total + jnp.sum(fns[i](probs[:, i], y[:, i]) * w)
+        head = jnp.sum(fns[i](probs[:, i], y[:, i]) * w)
+        if loss_weights is not None:
+            head = head * loss_weights[i % len(loss_weights)]
+        total = total + head
     return total
 
 

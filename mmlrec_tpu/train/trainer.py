@@ -205,6 +205,9 @@ class Trainer:
             self.num_domains,
             domain_mask=dmask if mc.masked_loss else None,
             model_name=self.model_name,
+            loss_weights=(
+                mc.loss_weights if mc.extra.get("use_loss_weights") else None
+            ),
         )
         reg = l2_regularization(params, mc.l2_reg_embedding, mc.l2_reg_dnn)
         cka = 0.0

@@ -140,3 +140,19 @@ def test_linear_cka_properties():
     assert 0.0 <= v <= 1.0
     # invariant to isotropic scaling
     assert abs(float(linear_cka(x, 3.0 * y)) - v) < 1e-5
+
+
+def test_loss_weights_scale_heads():
+    # the reference defines loss_weights in configs but never reads them
+    # (SURVEY §2.4.5); honored here when passed
+    rng = np.random.default_rng(9)
+    probs = jnp.asarray(rng.uniform(0.1, 0.9, (8, 2)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, (8, 2)), jnp.float32)
+    w = jnp.ones(8)
+    base0 = float(multitask_loss(probs[:, :1], y[:, :1], w,
+                                 ["binary_crossentropy"], "mtl", 1))
+    base1 = float(multitask_loss(probs[:, 1:], y[:, 1:], w,
+                                 ["binary_crossentropy"], "mtl", 1))
+    weighted = float(multitask_loss(probs, y, w, ["binary_crossentropy"] * 2,
+                                    "mtl", 1, loss_weights=[1.0, 2.0]))
+    assert abs(weighted - (base0 + 2.0 * base1)) < 1e-4
