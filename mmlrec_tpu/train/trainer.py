@@ -82,6 +82,26 @@ class Trainer:
         self.model_name = mc.model_name
         self.is_pcgrad = self.model_name == "pcg"
 
+        # row-sparse embedding updates (train/sparse_embedding.py)
+        self.sparse_embedding_update = bool(mc.extra.get("sparse_embedding_update"))
+        self._fused_offsets = None
+        if self.sparse_embedding_update:
+            sparse_dims = {
+                int(s.feature.embedding_dim) for s in self.layout.sparse_slots
+            }
+            if len(sparse_dims) != 1 or self.layout.varlen_slots:
+                raise ValueError(
+                    "sparse_embedding_update requires the fused embedding "
+                    "path (uniform dims, no varlen features)"
+                )
+            vocabs = [s.feature.vocabulary_size for s in self.layout.sparse_slots]
+            self._fused_offsets = jnp.asarray(
+                np.concatenate([[0], np.cumsum(vocabs)[:-1]]).astype(np.int32)
+            )
+            if self.cfg.optim_config.optimizer != "adam":
+                raise ValueError("sparse_embedding_update implements SparseAdam")
+        self._tx_wrapped = False
+
     # ------------------------------------------------------------------
     # compile
     # ------------------------------------------------------------------
@@ -302,14 +322,34 @@ class Trainer:
                     params, batch_stats, batch, step_rng, True
                 )
             )
+        new_table_opt = None
+        if self.sparse_embedding_update:
+            from .sparse_embedding import sparse_adam_row_update
+
+            b_ids = batch[0][:, : len(self.layout.sparse_slots)]
+            flat_ids = (b_ids + self._fused_offsets[None, :]).reshape(-1)
+            old_table = params["embeddings"]["fused"]["table"]
+            g_table = grads["embeddings"]["fused"]["table"]
+            new_table, new_table_opt = sparse_adam_row_update(
+                old_table, g_table, flat_ids, state["table_opt"],
+                lr=self.cfg.optim_config.lr,
+            )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if new_table_opt is not None:
+            emb = dict(params["embeddings"])
+            fused = dict(emb["fused"])
+            fused["table"] = new_table
+            emb["fused"] = fused
+            params = {**params, "embeddings": emb}
         new_state = {
             "params": params,
             "batch_stats": new_stats,
             "opt_state": opt_state,
             "rng": rng,
         }
+        if new_table_opt is not None:
+            new_state["table_opt"] = new_table_opt
         if use_gradnorm:
             new_state["task_weights"] = new_w
             new_state["initial_losses"] = init_losses
@@ -523,6 +563,18 @@ class Trainer:
             self.variables = self._init_variables(ids[:2], dense[:2])
         params = self.variables["params"]
         batch_stats = self.variables.get("batch_stats", {})
+        if self.sparse_embedding_update and not self._tx_wrapped:
+            # the base optimizer must not touch the table (and must not
+            # allocate dense moments for it): route it to set_to_zero
+            def label(path, _):
+                keys = [str(getattr(p, "key", "")) for p in path]
+                return "emb" if "table" in keys else "rest"
+
+            labels = jax.tree_util.tree_map_with_path(label, params)
+            self.tx = optax.multi_transform(
+                {"emb": optax.set_to_zero(), "rest": self.tx}, labels
+            )
+            self._tx_wrapped = True
         opt_state = self.tx.init(params)
         state = {
             "params": params,
@@ -535,6 +587,12 @@ class Trainer:
             state["task_weights"] = jnp.ones((T,), jnp.float32)
             state["initial_losses"] = jnp.ones((T,), jnp.float32)
             state["gn_step"] = jnp.zeros((), jnp.int32)
+        if self.sparse_embedding_update:
+            from .sparse_embedding import init_sparse_adam
+
+            state["table_opt"] = init_sparse_adam(
+                params["embeddings"]["fused"]["table"]
+            )
 
         if resume_from is not None:
             state, initial_epoch = self._restore_training_state(resume_from, state)
