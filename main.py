@@ -103,12 +103,14 @@ def main():
         trainer = Trainer(model, seed=seed, mesh=mesh).compile(
             optimizer=oc.optimizer, loss=oc.loss, metrics=oc.metrics
         )
+        shuffle = tc.extra.get("shuffle_mode", "full")
         trainer.fit(
             ds.train_input,
             ds.y_train,
             batch_size=tc.train_batch_size,
             epochs=tc.epochs,
             validation_data=(ds.test_input, ds.y_test),
+            shuffle="block" if shuffle == "block" else True,
         )
 
         if sc.save_layer_output:
