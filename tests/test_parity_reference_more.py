@@ -307,3 +307,46 @@ def test_apg_forward_parity():
              np.asarray(p["final_layer"]["kernel"])[t].T)
         _set(ref.out[t].bias, np.asarray(p["out"]["bias"])[t : t + 1])
     _run_pair("apg", ours, variables, ref)
+
+
+def test_mmoe_msl_masked_forward_parity():
+    """MSL forward WITH an active domain mask on both sides (the reference's
+    in-forward mask multiply, model/mmoe.py:101-102)."""
+    from model.mmoe import MMOE as RefMMOE
+
+    hidden, gate, tower = (32, 16), (8,), (8,)
+    layout, ref_cols = _cols()
+    cfg = _our_cfg("mmoe", task_name="msl", num_domains=2)
+    cfg.model_config.masked_loss = True
+    ours = get_model("mmoe", layout, cfg)
+    ids, dense, x_ref = _inputs()
+    rng = np.random.default_rng(1)
+    dom = rng.integers(0, 2, B)
+    dmask_np = np.eye(2)[dom].astype(np.float32)
+    dmask = jnp.asarray(dmask_np)
+    variables = ours.init(jax.random.PRNGKey(0), ids, dense, dmask, train=False)
+    p = variables["params"]
+
+    ref_raw = _ref_config("mmoe")
+    ref_raw["model_config"]["task_name"] = "msl"
+    ref_raw["data_config"]["num_domains"] = 2
+    ref_raw["data_config"]["label_columns"] = ["l", "l"]
+    ref = RefMMOE(ref_cols, device="cpu", config=ref_raw)
+    ref.eval()
+    _copy_embeddings(ref, p, layout)
+    from tests.test_parity_reference import _copy_mlp_stack as _cms
+
+    _cms(ref.expert_dnn, p["expert_dnn"], len(hidden))
+    _cms(ref.gate_dnn, p["gate_dnn"], len(gate))
+    _cms(ref.tower_dnn, p["tower_dnn"], len(tower))
+    for t in range(2):
+        _set(ref.gate_dnn_final_layer[t].weight,
+             np.asarray(p["gate_final"]["kernel"])[t].T)
+        _set(ref.tower_dnn_final_layer[t].weight,
+             np.asarray(p["tower_final"]["kernel"])[t].T)
+        _set(ref.out[t].bias, np.asarray(p["out"]["bias"])[t : t + 1])
+
+    with torch.no_grad():
+        expect = ref(x_ref, torch.from_numpy(dmask_np)).numpy()
+    got = np.asarray(ours.apply(variables, ids, dense, dmask, train=False))
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=1e-6)
