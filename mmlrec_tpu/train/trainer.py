@@ -82,6 +82,16 @@ class Trainer:
         self.model_name = mc.model_name
         self.is_pcgrad = self.model_name == "pcg"
 
+        if self.model_name in ("escm", "escm_dr") and (
+            self.is_pcgrad
+            or mc.extra.get("use_gradnorm")
+            or mc.extra.get("use_cagrad")
+        ):
+            raise ValueError(
+                "per-task gradient methods (pcg/gradnorm/cagrad) are not "
+                "defined for ESCM's entire-space objective"
+            )
+
         # row-sparse embedding updates (train/sparse_embedding.py)
         self.sparse_embedding_update = bool(mc.extra.get("sparse_embedding_update"))
         self._fused_offsets = None
