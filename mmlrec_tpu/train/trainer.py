@@ -543,6 +543,7 @@ class Trainer:
         shuffle: bool = True,
         verbose: int = 1,
         resume_from: Optional[str] = None,
+        epoch_callback=None,
     ) -> "Trainer":
         mc, oc, tc = self.cfg.model_config, self.cfg.optim_config, self.cfg.training_config
         batch_size = batch_size or 256
@@ -585,12 +586,21 @@ class Trainer:
                 {"emb": optax.set_to_zero(), "rest": self.tx}, labels
             )
             self._tx_wrapped = True
-        opt_state = self.tx.init(params)
+        # optimizer state persists across fit() calls (the reference creates
+        # the optimizer once at compile, basemodel.py:563, so a second fit
+        # continues with warm adam moments)
+        prev = getattr(self, "_train_state", None)
+        if prev is not None and "opt_state" in prev:
+            opt_state = prev["opt_state"]
+            rng_key = prev["rng"]
+        else:
+            opt_state = self.tx.init(params)
+            rng_key = jax.random.PRNGKey(self.seed + 1)
         state = {
             "params": params,
             "batch_stats": batch_stats,
             "opt_state": opt_state,
-            "rng": jax.random.PRNGKey(self.seed + 1),
+            "rng": rng_key,
         }
         if self.cfg.model_config.extra.get("use_gradnorm"):
             T = self.num_tasks
@@ -810,6 +820,9 @@ class Trainer:
                 else:
                     early_stop_count += 1
             self.history.append(logs)
+            if epoch_callback is not None:
+                self._train_state = state
+                epoch_callback(epoch, self)
             if verbose:
                 msg = f"Epoch {epoch + 1}/{epochs} - {epoch_time:.1f}s - " + " - ".join(
                     f"{k}: {v:.4f}" for k, v in logs.items() if k != "epoch_s"
