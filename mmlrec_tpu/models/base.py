@@ -16,7 +16,7 @@ pass ``linear_feature_columns=[]``) is intentionally not replicated.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ stop_gradient.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from ..ops.layers import SNRGate, StackedDense, StackedMLP
 from .base import RecModel, overwrite

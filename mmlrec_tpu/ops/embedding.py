@@ -13,7 +13,7 @@ all-gather collectives for the distributed lookup automatically.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

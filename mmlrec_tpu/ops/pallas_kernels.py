@@ -16,8 +16,6 @@ and re-reading it for the reshape/concat.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -20,7 +20,7 @@ rest.  Multi-host runs only additionally need
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

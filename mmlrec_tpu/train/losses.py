@@ -12,7 +12,7 @@ to a fixed shape so XLA compiles one program).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
