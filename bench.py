@@ -57,21 +57,32 @@ def main():
     step = trainer._make_train_step()
     batch = (ids, dense, yb, dm, weight)
 
+    def chain_sync(state):
+        # jax.block_until_ready does NOT reliably block on this image's
+        # remote TPU backend (docs/perf_notes.md) — force a real host
+        # readback that depends on the whole step chain.
+        return float(np.asarray(state["params"]["out"]["bias"])[0])
+
     # warmup / compile
     for _ in range(3):
         state, *_ = step(state, batch)
-    jax.block_until_ready(state["params"])
+    chain_sync(state)
+    sync_overhead_t0 = time.perf_counter()
+    state, *_ = step(state, batch)
+    chain_sync(state)
+    sync_overhead = time.perf_counter() - sync_overhead_t0
 
     # best of 3 trials: the tunnel-attached TPU shows 2-3x window-to-window
     # throughput variance (docs/perf_notes.md)
-    iters = 50
+    iters = 300
     best_dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             state, *_ = step(state, batch)
-        jax.block_until_ready(state["params"])
+        chain_sync(state)
         best_dt = min(best_dt, time.perf_counter() - t0)
+    best_dt = max(best_dt - sync_overhead, 1e-9)
 
     n_chips = jax.device_count()
     examples_per_s = batch_size * iters / best_dt

