@@ -58,16 +58,26 @@ def bench(vocab_per_feature: int, n_sparse: int, emb_dim: int,
         "rng": jax.random.PRNGKey(1),
     }
     step = trainer._make_train_step()
+
+    def chain_sync(s):
+        # block_until_ready is unreliable on this backend (docs/perf_notes.md)
+        leaf = jax.tree_util.tree_leaves(s["params"])[0]
+        return float(np.asarray(leaf).ravel()[0])
+
     for _ in range(3):
         state, *_ = step(state, batch)
-    jax.block_until_ready(state["params"])
+    chain_sync(state)
+    t0 = time.perf_counter()
+    state, *_ = step(state, batch)
+    chain_sync(state)
+    sync_overhead = time.perf_counter() - t0
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             state, *_ = step(state, batch)
-        jax.block_until_ready(state["params"])
-        best = min(best, time.perf_counter() - t0)
+        chain_sync(state)
+        best = min(best, max(time.perf_counter() - t0 - sync_overhead, 1e-9))
     print(json.dumps({
         "total_vocab": vocab_per_feature * n_sparse,
         "emb_dim": emb_dim,
