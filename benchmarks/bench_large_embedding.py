@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench(vocab_per_feature: int, n_sparse: int, emb_dim: int,
-          batch_size: int = 4096, iters: int = 30):
+          batch_size: int = 4096, iters: int = 200):
     import jax
     import jax.numpy as jnp
 
@@ -67,8 +67,8 @@ def bench(vocab_per_feature: int, n_sparse: int, emb_dim: int,
     for _ in range(3):
         state, *_ = step(state, batch)
     chain_sync(state)
+    # readback-only overhead (queue already drained)
     t0 = time.perf_counter()
-    state, *_ = step(state, batch)
     chain_sync(state)
     sync_overhead = time.perf_counter() - t0
     best = float("inf")
