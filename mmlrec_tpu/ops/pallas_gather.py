@@ -1,0 +1,72 @@
+"""Pallas row-gather for large embedding tables.
+
+XLA's gather costs ~300 ns/row on this backend once the table exceeds VMEM
+(docs/perf_notes.md "Large-vocabulary embedding scaling") — the dominant
+cost of large-table training steps.  This kernel keeps the table in HBM and
+issues a CHUNK of per-row async DMAs per grid step, so many row copies are
+in flight at once while Pallas double-buffers the output windows.
+
+ids arrive via scalar prefetch (PrefetchScalarGridSpec) so the DMA source
+addresses are known before the kernel body runs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gather_kernel(chunk: int, ids_ref, table_ref, out_ref, scratch, sems):
+    i = pl.program_id(0)
+
+    def issue(j):
+        idx = ids_ref[i * chunk + j]
+        return pltpu.make_async_copy(
+            table_ref.at[idx], scratch.at[j], sems.at[j]
+        )
+
+    for j in range(chunk):
+        issue(j).start()
+    for j in range(chunk):
+        issue(j).wait()
+    out_ref[:] = scratch[:]
+
+
+def pallas_row_gather(
+    table: jnp.ndarray,
+    ids: jnp.ndarray,
+    *,
+    chunk: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """table [V, D] (HBM-resident), ids [K] int32 -> rows [K, D].
+
+    K must be a multiple of `chunk` (pad ids with any valid row id).
+    Equivalent XLA math: jnp.take(table, ids, axis=0).
+    """
+    K = ids.shape[0]
+    V, D = table.shape
+    assert K % chunk == 0, (K, chunk)
+    grid = (K // chunk,)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],  # table stays in HBM
+        out_specs=pl.BlockSpec(
+            (chunk, D), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((chunk, D), table.dtype),
+            pltpu.SemaphoreType.DMA((chunk,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_gather_kernel, chunk),
+        out_shape=jax.ShapeDtypeStruct((K, D), table.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(ids, table)

@@ -110,6 +110,13 @@ class Trainer:
             )
             if self.cfg.optim_config.optimizer != "adam":
                 raise ValueError("sparse_embedding_update implements SparseAdam")
+            # lane-packed tables store P logical rows per physical row; the
+            # row update then touches super-rows flat_ids // P (ops/embedding.py)
+            from ..ops.embedding import pack_factor_for
+
+            self._emb_pack_factor = pack_factor_for(
+                int(sum(vocabs)), sparse_dims.pop()
+            )
         self._tx_wrapped = False
 
     # ------------------------------------------------------------------
@@ -338,6 +345,8 @@ class Trainer:
 
             b_ids = batch[0][:, : len(self.layout.sparse_slots)]
             flat_ids = (b_ids + self._fused_offsets[None, :]).reshape(-1)
+            if self._emb_pack_factor > 1:
+                flat_ids = flat_ids // self._emb_pack_factor
             old_table = params["embeddings"]["fused"]["table"]
             g_table = grads["embeddings"]["fused"]["table"]
             new_table, new_table_opt = sparse_adam_row_update(

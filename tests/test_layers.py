@@ -166,6 +166,49 @@ def test_fused_embedding_offsets():
     assert table.shape[0] == 8  # padded
 
 
+def test_fused_embedding_lane_packed_matches_plain():
+    """Packed [rows/P, 128] layout is bit-exact vs the plain layout.
+
+    Packing is the large-table fast path (docs/perf_notes.md "Packed
+    gather"); here it is forced on a tiny table to check the math.
+    """
+    vocabs, dim = (7, 13, 6), 16  # P = 128 // 16 = 8
+    ids = jnp.asarray([[0, 0, 0], [6, 12, 5], [3, 7, 2], [1, 1, 1]], jnp.int32)
+    plain = FusedEmbedding(vocab_sizes=vocabs, dim=dim, pad_to=8, packed=False)
+    packed = FusedEmbedding(vocab_sizes=vocabs, dim=dim, pad_to=8, packed=True)
+    p_plain = plain.init(KEY, ids)
+    p_packed = packed.init(KEY, ids)
+    tbl = p_packed["params"]["table"]
+    assert tbl.shape[1] == 128 and tbl.shape[0] * 8 == p_packed["params"]["table"].size // dim
+    # transplant: logical row r -> physical [r//P, (r%P)*dim:(r%P+1)*dim]
+    logical = np.asarray(p_plain["params"]["table"])
+    rows = logical.shape[0]
+    phys = np.zeros(tbl.shape, np.float32)
+    phys.reshape(-1, dim)[:rows] = logical
+    p_packed = {"params": {"table": jnp.asarray(phys)}}
+    np.testing.assert_array_equal(
+        np.asarray(plain.apply(p_plain, ids)), np.asarray(packed.apply(p_packed, ids))
+    )
+    # gradients agree row-for-row under the same transplant map
+    g_plain = jax.grad(lambda p: (plain.apply(p, ids) ** 2).sum())(p_plain)
+    g_packed = jax.grad(lambda p: (packed.apply(p, ids) ** 2).sum())(p_packed)
+    np.testing.assert_allclose(
+        np.asarray(g_packed["params"]["table"]).reshape(-1, dim)[:rows],
+        np.asarray(g_plain["params"]["table"]),
+        rtol=1e-6,
+    )
+
+
+def test_pack_factor_auto_threshold():
+    from mmlrec_tpu.ops.embedding import pack_factor_for
+
+    assert pack_factor_for(1000, 16) == 1  # tiny -> plain
+    assert pack_factor_for(1 << 20, 16) == 8  # large -> packed
+    assert pack_factor_for(1 << 20, 128) == 1  # already lane-wide
+    assert pack_factor_for(1 << 20, 24) == 1  # 128 % 24 != 0
+    assert pack_factor_for(1 << 20, 32, packed=False) == 1  # explicit off
+
+
 def test_domain_bn_intended_mode_normalizes_per_domain():
     B, F, D = 64, 3, 2
     rng = np.random.default_rng(0)
