@@ -156,7 +156,15 @@ class EmbeddingCollection(nn.Module):
         }
 
     def sparse_embeddings(self, ids: jnp.ndarray) -> jnp.ndarray:
-        """ids [B, n_sparse] -> [B, n_sparse, D] (uniform-dim fast path)."""
+        """ids [B, n_sparse] -> [B, n_sparse, D] (uniform-dim fast path).
+
+        If an ``injected`` collection supplies ``sparse_rows`` (the trainer's
+        two-phase embedding step pre-gathers the batch rows and differentiates
+        w.r.t. THEM, so no dense [V, D] cotangent ever materializes), those
+        rows are used verbatim and the table is not touched.
+        """
+        if self.has_variable("injected", "sparse_rows"):
+            return self.get_variable("injected", "sparse_rows")
         if self.fused is not None:
             return self.fused(ids)
         outs = []

@@ -28,9 +28,11 @@ flag as experimental.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class SparseAdamState(NamedTuple):
@@ -76,3 +78,100 @@ def sparse_adam_row_update(
             count=count,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-phase embedding step (docs/perf_notes.md "two-phase gathered-rows
+# differentiation"): the trainer pre-gathers the batch's rows, differentiates
+# the loss w.r.t. the GATHERED rows (injected into the model via the
+# ``injected`` flax collection, ops/embedding.py), and this module applies
+# exact SparseAdam to only the touched rows.  No [V, D] cotangent, moment, or
+# update buffer is ever materialized — the only whole-table ops left are the
+# in-place scatter-adds of [K]-row deltas.
+#
+# Exact duplicate handling without an in-program unique() (sort/cumsum cost
+# ~11.6 ms for 65k keys on this backend): batch composition is host-known
+# (fit stages the dataset and generates the shuffle order itself), so the
+# host precomputes per-batch `inv` (first-occurrence position of each id)
+# and `rep` (1.0 at first occurrences).  On device, scatter-adding g_rows at
+# `inv` inside a [K, D] buffer yields the per-unique-id gradient SUM at
+# representative positions; all updates are then written as rep-masked
+# scatter-ADDs of deltas, which duplicate ids cannot corrupt.
+# ---------------------------------------------------------------------------
+
+
+def batch_dedup_metadata(flat_ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side per-batch duplicate metadata.
+
+    flat_ids: [steps, K] int — fused-table logical row ids per batch.
+    Returns (inv [steps, K] int32, rep [steps, K] float32): inv[b, j] is the
+    position of the first occurrence of flat_ids[b, j] within batch b, and
+    rep[b, j] is 1.0 iff j IS that first occurrence.
+    """
+    steps, K = flat_ids.shape
+    inv = np.empty((steps, K), np.int32)
+    rep = np.zeros((steps, K), np.float32)
+    for b in range(steps):
+        row = flat_ids[b]
+        _, first_idx, inverse = np.unique(row, return_index=True, return_inverse=True)
+        inv[b] = first_idx[inverse]
+        rep[b, first_idx] = 1.0
+    return inv, rep
+
+
+def gather_rows(table: jnp.ndarray, flat_ids: jnp.ndarray, dim: int, pack_factor: int):
+    """[K] logical ids -> [K, dim] rows from a (possibly lane-packed) table."""
+    if pack_factor == 1:
+        return jnp.take(table, flat_ids, axis=0)
+    P = pack_factor
+    sup = jnp.take(table, flat_ids // P, axis=0)  # [K, P*dim]
+    sub = jax.nn.one_hot(flat_ids % P, P, dtype=table.dtype)
+    return jnp.einsum("kp,kpd->kd", sub, sup.reshape(-1, P, dim))
+
+
+def _scatter_add_rows(
+    arr: jnp.ndarray, flat_ids: jnp.ndarray, delta: jnp.ndarray, pack_factor: int
+):
+    """arr.at[logical rows] += delta, for plain or lane-packed layouts."""
+    if pack_factor == 1:
+        return arr.at[flat_ids].add(delta)
+    P = pack_factor
+    dim = delta.shape[-1]
+    sub = jax.nn.one_hot(flat_ids % P, P, dtype=delta.dtype)
+    wide = jnp.einsum("kp,kd->kpd", sub, delta).reshape(delta.shape[0], P * dim)
+    return arr.at[flat_ids // P].add(wide)
+
+
+def two_phase_sparse_adam(
+    table: jnp.ndarray,
+    g_rows: jnp.ndarray,  # [K, D] cotangent w.r.t. the gathered rows
+    flat_ids: jnp.ndarray,  # [K] logical row ids (duplicates OK)
+    inv: jnp.ndarray,  # [K] first-occurrence positions (host-computed)
+    rep: jnp.ndarray,  # [K] 1.0 at first occurrences
+    state: SparseAdamState,
+    lr: float,
+    pack_factor: int = 1,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+):
+    """Exact SparseAdam from row cotangents; all whole-table traffic is two
+    [K]-row scatter-adds (table) + four row gathers/scatters (moments)."""
+    dim = g_rows.shape[-1]
+    count = state.count + 1
+    t = count.astype(jnp.float32)
+    # per-unique-id gradient sums at representative positions
+    g_sum = jnp.zeros_like(g_rows).at[inv].add(g_rows)
+    mu_rows = gather_rows(state.mu, flat_ids, dim, pack_factor)
+    nu_rows = gather_rows(state.nu, flat_ids, dim, pack_factor)
+    new_mu = b1 * mu_rows + (1.0 - b1) * g_sum
+    new_nu = b2 * nu_rows + (1.0 - b2) * g_sum * g_sum
+    mu_hat = new_mu / (1.0 - b1**t)
+    nu_hat = new_nu / (1.0 - b2**t)
+    r = rep[:, None]
+    table = _scatter_add_rows(
+        table, flat_ids, -lr * mu_hat / (jnp.sqrt(nu_hat) + eps) * r, pack_factor
+    )
+    mu = _scatter_add_rows(state.mu, flat_ids, (new_mu - mu_rows) * r, pack_factor)
+    nu = _scatter_add_rows(state.nu, flat_ids, (new_nu - nu_rows) * r, pack_factor)
+    return table, SparseAdamState(mu=mu, nu=nu, count=count)

@@ -92,16 +92,29 @@ class Trainer:
                 "defined for ESCM's entire-space objective"
             )
 
-        # row-sparse embedding updates (train/sparse_embedding.py)
-        self.sparse_embedding_update = bool(mc.extra.get("sparse_embedding_update"))
+        # row-sparse embedding updates (train/sparse_embedding.py).
+        # two_phase_embedding supersedes sparse_embedding_update: the model
+        # consumes PRE-GATHERED rows (injected collection, ops/embedding.py)
+        # and the loss is differentiated w.r.t. those rows, so no dense
+        # [V, D] cotangent ever materializes.
+        self.two_phase_embedding = bool(mc.extra.get("two_phase_embedding"))
+        self.sparse_embedding_update = (
+            bool(mc.extra.get("sparse_embedding_update"))
+            and not self.two_phase_embedding
+        )
         self._fused_offsets = None
-        if self.sparse_embedding_update:
+        if self.sparse_embedding_update or self.two_phase_embedding:
+            flag = (
+                "two_phase_embedding"
+                if self.two_phase_embedding
+                else "sparse_embedding_update"
+            )
             sparse_dims = {
                 int(s.feature.embedding_dim) for s in self.layout.sparse_slots
             }
             if len(sparse_dims) != 1 or self.layout.varlen_slots:
                 raise ValueError(
-                    "sparse_embedding_update requires the fused embedding "
+                    f"{flag} requires the fused embedding "
                     "path (uniform dims, no varlen features)"
                 )
             vocabs = [s.feature.vocabulary_size for s in self.layout.sparse_slots]
@@ -109,13 +122,21 @@ class Trainer:
                 np.concatenate([[0], np.cumsum(vocabs)[:-1]]).astype(np.int32)
             )
             if self.cfg.optim_config.optimizer != "adam":
-                raise ValueError("sparse_embedding_update implements SparseAdam")
+                raise ValueError(f"{flag} implements SparseAdam")
             # lane-packed tables store P logical rows per physical row; the
             # row update then touches super-rows flat_ids // P (ops/embedding.py)
             from ..ops.embedding import pack_factor_for
 
-            self._emb_pack_factor = pack_factor_for(
-                int(sum(vocabs)), sparse_dims.pop()
+            self._emb_dim = sparse_dims.pop()
+            self._emb_pack_factor = pack_factor_for(int(sum(vocabs)), self._emb_dim)
+        if self.two_phase_embedding and (
+            self.is_pcgrad
+            or mc.extra.get("use_gradnorm")
+            or mc.extra.get("use_cagrad")
+        ):
+            raise ValueError(
+                "two_phase_embedding is incompatible with per-task gradient "
+                "methods (they need whole-param task gradients)"
             )
         self._tx_wrapped = False
 
@@ -258,10 +279,126 @@ class Trainer:
         new_stats = mutated.get("batch_stats", batch_stats)
         return total, (data_loss, new_stats, probs)
 
+    # -- two-phase embedding step ---------------------------------------
+    #
+    # Phase 1 gathers the batch's table rows (non-differentiated); phase 2
+    # differentiates the loss w.r.t. the GATHERED rows, injected into the
+    # model through the ``injected`` flax collection (ops/embedding.py), and
+    # applies exact SparseAdam to only the touched rows
+    # (train/sparse_embedding.py two_phase_sparse_adam).  The embedding
+    # table never appears in a grad pytree, so no [V, D] cotangent, dense
+    # moment update, or optimizer sweep of the table exists anywhere.
+    # Duplicate-id metadata (inv, rep) is host-precomputed per batch — batch
+    # composition is host-known in every fit path.
+
+    @staticmethod
+    def _without_table(params):
+        emb = dict(params["embeddings"])
+        fused = dict(emb["fused"])
+        table = fused.pop("table")
+        emb["fused"] = fused
+        return {**params, "embeddings": emb}, table
+
+    @staticmethod
+    def _with_table(rest, table):
+        emb = dict(rest["embeddings"])
+        fused = dict(emb.get("fused", {}))
+        fused["table"] = table
+        emb["fused"] = fused
+        return {**rest, "embeddings": emb}
+
+    def _loss_terms_injected(self, rest, table, rows, batch_stats, batch, rng):
+        """_loss_terms with pre-gathered embedding rows.
+
+        ``table`` is a non-differentiated argument; the embedding penalty is
+        the sparse form (touched unique rows only), matching SparseAdam's
+        touched-rows-only philosophy — exact equality with the dense L2 holds
+        when l2_reg_embedding == 0 (all reference configs that matter).
+        """
+        mc = self.cfg.model_config
+        ids, dense, y, dmask, weight, inv, rep = batch
+        model_mask = dmask if (mc.masked_loss and dmask is not None) else None
+        params = self._with_table(rest, table)
+        variables = {
+            "params": params,
+            "injected": {"embeddings": {"sparse_rows": rows}},
+        }
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        probs, mutated = self.model.apply(
+            variables, ids, dense, model_mask, train=True,
+            mutable=["batch_stats"], rngs={"dropout": rng},
+        )
+        data_loss = multitask_loss(
+            probs, y, weight, self.loss_names, self.task_name,
+            self.num_domains,
+            domain_mask=dmask if mc.masked_loss else None,
+            model_name=self.model_name,
+            loss_weights=(
+                mc.loss_weights if mc.extra.get("use_loss_weights") else None
+            ),
+        )
+        reg = l2_regularization(rest, mc.l2_reg_embedding, mc.l2_reg_dnn)
+        if mc.l2_reg_embedding:
+            flat_rows = rows.reshape(-1, rows.shape[-1])
+            reg = reg + mc.l2_reg_embedding * jnp.sum(
+                rep[:, None] * jnp.square(flat_rows)
+            )
+        total = data_loss + reg
+        new_stats = mutated.get("batch_stats", batch_stats)
+        return total, (data_loss, new_stats, probs)
+
+    def _step_body_two_phase(self, state, batch):
+        from .sparse_embedding import gather_rows, two_phase_sparse_adam
+
+        params, batch_stats, opt_state, rng = (
+            state["params"],
+            state["batch_stats"],
+            state["opt_state"],
+            state["rng"],
+        )
+        rng, step_rng = jax.random.split(rng)
+        ids, dense, y, dmask, weight, inv, rep = batch
+        B, F = ids.shape
+        rest, table = self._without_table(params)
+        flat_ids = (ids + self._fused_offsets[None, :]).reshape(-1)
+        rows = gather_rows(
+            table, flat_ids, self._emb_dim, self._emb_pack_factor
+        ).reshape(B, F, self._emb_dim)
+        (total_loss, (data_loss, new_stats, probs)), (g_rest, g_rows) = (
+            jax.value_and_grad(
+                self._loss_terms_injected, argnums=(0, 2), has_aux=True
+            )(rest, table, rows, batch_stats, batch, step_rng)
+        )
+        new_table, new_table_opt = two_phase_sparse_adam(
+            table,
+            g_rows.reshape(B * F, self._emb_dim),
+            flat_ids,
+            inv,
+            rep,
+            state["table_opt"],
+            lr=self.cfg.optim_config.lr,
+            pack_factor=self._emb_pack_factor,
+        )
+        updates, opt_state = self.tx.update(g_rest, opt_state, rest)
+        rest = optax.apply_updates(rest, updates)
+        new_state = {
+            "params": self._with_table(rest, new_table),
+            "batch_stats": new_stats,
+            "opt_state": opt_state,
+            "rng": rng,
+            "table_opt": new_table_opt,
+        }
+        if "epoch_step" in state:
+            new_state["epoch_step"] = state["epoch_step"]
+        return new_state, total_loss, data_loss, probs
+
     def _step_body(self, state, batch):
         """One training step: forward + loss + backward + optimizer update.
         Pure function of (state, batch); reused by the per-step jit and the
         scanned whole-epoch jit."""
+        if self.two_phase_embedding:
+            return self._step_body_two_phase(state, batch)
         tx = self.tx
         params, batch_stats, opt_state, rng = (
             state["params"],
@@ -437,16 +574,25 @@ class Trainer:
     # therefore lives in the train state as a device counter and the epoch's
     # shuffled indices/weights are transferred once per epoch.
 
+    def _slice_dedup(self, dedup2d, s):
+        """Row s of the per-epoch (inv2d, rep2d) stacks (two-phase mode)."""
+        if dedup2d is None:
+            return ()
+        inv2d, rep2d = dedup2d
+        K = inv2d.shape[1]
+        inv = jax.lax.dynamic_slice(inv2d, (s, 0), (1, K))[0]
+        rep = jax.lax.dynamic_slice(rep2d, (s, 0), (1, K))[0]
+        return (inv, rep)
+
     def _make_gather_step(self):
-        def gather_step(state, staged, idx2d, w2d):
+        def gather_step(state, staged, idx2d, w2d, dedup2d=None):
             steps, bs = idx2d.shape
             s = state["epoch_step"] % steps
             idx = jax.lax.dynamic_slice(idx2d, (s, 0), (1, bs))[0]
             w = jax.lax.dynamic_slice(w2d, (s, 0), (1, bs))[0]
             rows = jnp.take(staged, idx, axis=0)
-            new_state, tl, dl, probs = self._step_body(
-                state, self._split_staged(rows, w)
-            )
+            batch = self._split_staged(rows, w) + self._slice_dedup(dedup2d, s)
+            new_state, tl, dl, probs = self._step_body(state, batch)
             new_state["epoch_step"] = state["epoch_step"] + 1
             return new_state, tl, dl, probs
 
@@ -455,7 +601,7 @@ class Trainer:
         )
 
     def _make_slice_step(self, batch_size: int):
-        def slice_step(state, staged, starts, w2d):
+        def slice_step(state, staged, starts, w2d, dedup2d=None):
             steps = starts.shape[0]
             s = state["epoch_step"] % steps
             start = jax.lax.dynamic_slice(starts, (s,), (1,))[0]
@@ -463,9 +609,8 @@ class Trainer:
             rows = jax.lax.dynamic_slice(
                 staged, (start, 0), (batch_size, staged.shape[1])
             )
-            new_state, tl, dl, probs = self._step_body(
-                state, self._split_staged(rows, w)
-            )
+            batch = self._split_staged(rows, w) + self._slice_dedup(dedup2d, s)
+            new_state, tl, dl, probs = self._step_body(state, batch)
             new_state["epoch_step"] = state["epoch_step"] + 1
             return new_state, tl, dl, probs
 
@@ -603,7 +748,15 @@ class Trainer:
             opt_state = prev["opt_state"]
             rng_key = prev["rng"]
         else:
-            opt_state = self.tx.init(params)
+            # two-phase mode never exposes the table to the base optimizer —
+            # its opt state covers only the non-embedding params (the table's
+            # moments live in state["table_opt"])
+            tx_params = (
+                self._without_table(params)[0]
+                if self.two_phase_embedding
+                else params
+            )
+            opt_state = self.tx.init(tx_params)
             rng_key = jax.random.PRNGKey(self.seed + 1)
         state = {
             "params": params,
@@ -616,11 +769,16 @@ class Trainer:
             state["task_weights"] = jnp.ones((T,), jnp.float32)
             state["initial_losses"] = jnp.ones((T,), jnp.float32)
             state["gn_step"] = jnp.zeros((), jnp.int32)
-        if self.sparse_embedding_update:
+        if self.sparse_embedding_update or self.two_phase_embedding:
             from .sparse_embedding import init_sparse_adam
 
             state["table_opt"] = init_sparse_adam(
                 params["embeddings"]["fused"]["table"]
+            )
+        if self.two_phase_embedding and self.mesh is not None:
+            raise NotImplementedError(
+                "two_phase_embedding with a device mesh lands with the "
+                "multi-chip embedding all-to-all (roadmap)"
             )
 
         if resume_from is not None:
@@ -673,6 +831,18 @@ class Trainer:
                 block_w = np.ones((steps_per_epoch, batch_size), np.float32)
                 if pad_tail:
                     block_w[-1, batch_size - pad_tail :] = 0.0
+                block_dedup = None
+                if self.two_phase_embedding:
+                    # batch composition is FIXED in block mode, so per-batch
+                    # duplicate metadata is computed once per fit
+                    from .sparse_embedding import batch_dedup_metadata
+
+                    ids_p = rep(ids) if pad_tail else ids
+                    offs = np.asarray(self._fused_offsets)[None, :]
+                    flat = (ids_p.astype(np.int64) + offs).reshape(
+                        steps_per_epoch, batch_size * ids.shape[1]
+                    )
+                    block_dedup = batch_dedup_metadata(flat)
             else:
                 staged = self._stage_dataset(ids, dense, y, dmask)
                 step_dev = self._make_gather_step()
@@ -705,9 +875,16 @@ class Trainer:
                         (batch_order * batch_size).astype(np.int32)
                     )
                     w2d_dev = jnp.asarray(block_w[batch_order])
+                    dedup_dev = None
+                    if block_dedup is not None:
+                        inv_all, rep_all = block_dedup
+                        dedup_dev = (
+                            jnp.asarray(inv_all[batch_order]),
+                            jnp.asarray(rep_all[batch_order]),
+                        )
                     for s in range(steps_this_epoch):
                         state, total_loss, data_loss, probs = step_dev(
-                            state, staged, starts_dev, w2d_dev
+                            state, staged, starts_dev, w2d_dev, dedup_dev
                         )
                         loss_refs.append(total_loss)
                         if self.metric_fns:
@@ -732,9 +909,22 @@ class Trainer:
                     w2d_dev = jnp.asarray(
                         w_full.reshape(steps_this_epoch, batch_size)
                     )
+                    dedup_dev = None
+                    if self.two_phase_embedding:
+                        # full-shuffle: batch composition changes per epoch,
+                        # recompute duplicate metadata from the host order
+                        from .sparse_embedding import batch_dedup_metadata
+
+                        offs = np.asarray(self._fused_offsets)[None, None, :]
+                        ids_e = ids[idx_full.reshape(steps_this_epoch, batch_size)]
+                        flat = (ids_e.astype(np.int64) + offs).reshape(
+                            steps_this_epoch, -1
+                        )
+                        inv_e, rep_e = batch_dedup_metadata(flat)
+                        dedup_dev = (jnp.asarray(inv_e), jnp.asarray(rep_e))
                     for s in range(steps_this_epoch):
                         state, total_loss, data_loss, probs = step_dev(
-                            state, staged, idx2d_dev, w2d_dev
+                            state, staged, idx2d_dev, w2d_dev, dedup_dev
                         )
                         loss_refs.append(total_loss)
                         if self.metric_fns:
@@ -772,6 +962,13 @@ class Trainer:
                         from ..parallel.mesh import shard_batch
 
                         batch = shard_batch(batch, self.mesh)
+                    if self.two_phase_embedding:
+                        from .sparse_embedding import batch_dedup_metadata
+
+                        offs = np.asarray(self._fused_offsets)[None, :]
+                        flat = (ids[idx].astype(np.int64) + offs).reshape(1, -1)
+                        inv_b, rep_b = batch_dedup_metadata(flat)
+                        batch = batch + (jnp.asarray(inv_b[0]), jnp.asarray(rep_b[0]))
                     state, total_loss, data_loss, probs = train_step(state, batch)
                     total_steps += 1
                     examples_seen += int(np.sum(weight))

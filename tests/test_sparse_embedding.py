@@ -82,3 +82,118 @@ def test_sparse_vs_dense_quality_similar():
         tr.fit(x, y, batch_size=128, epochs=4, validation_data=(xv, yv), verbose=0)
         results[name] = max(h["val_auc"] for h in tr.history)
     assert abs(results["dense"] - results["sparse"]) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# two-phase embedding step
+# ---------------------------------------------------------------------------
+
+
+def test_batch_dedup_metadata():
+    from mmlrec_tpu.train.sparse_embedding import batch_dedup_metadata
+
+    flat = np.asarray([[3, 5, 3, 7, 5, 3]])
+    inv, rep = batch_dedup_metadata(flat)
+    np.testing.assert_array_equal(inv[0], [0, 1, 0, 3, 1, 0])
+    np.testing.assert_array_equal(rep[0], [1, 1, 0, 1, 0, 0])
+
+
+def test_two_phase_sparse_adam_matches_row_update():
+    """Row-cotangent two-phase update == dense-cotangent row update,
+    including duplicate ids, for both plain and lane-packed layouts."""
+    from mmlrec_tpu.train.sparse_embedding import (
+        batch_dedup_metadata,
+        two_phase_sparse_adam,
+    )
+
+    V, D, K = 16, 4, 10
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    flat_ids = np.asarray([1, 7, 1, 3, 9, 7, 7, 2, 14, 1], np.int32)
+    g_rows = jnp.asarray(rng.normal(size=(K, D)), jnp.float32)
+    inv, rep = batch_dedup_metadata(flat_ids[None, :])
+    lr = 0.05
+
+    # reference: dense cotangent (autodiff would scatter-add dup rows)
+    g_table = jnp.zeros((V, D)).at[flat_ids].add(g_rows)
+    old_table, old_state = sparse_adam_row_update(
+        table, g_table, jnp.asarray(flat_ids), init_sparse_adam(table), lr=lr
+    )
+
+    new_table, new_state = two_phase_sparse_adam(
+        table, g_rows, jnp.asarray(flat_ids), jnp.asarray(inv[0]),
+        jnp.asarray(rep[0]), init_sparse_adam(table), lr=lr, pack_factor=1,
+    )
+    np.testing.assert_allclose(np.asarray(new_table), np.asarray(old_table),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_state.mu), np.asarray(old_state.mu),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_state.nu), np.asarray(old_state.nu),
+                               rtol=1e-5, atol=1e-6)
+
+    # lane-packed layout: physical [V/2, 2*D], logical row r at
+    # [r//2, (r%2)*D:(r%2+1)*D]
+    packed = table.reshape(V // 2, 2 * D)
+    p_table, p_state = two_phase_sparse_adam(
+        packed, g_rows, jnp.asarray(flat_ids), jnp.asarray(inv[0]),
+        jnp.asarray(rep[0]),
+        init_sparse_adam(packed), lr=lr, pack_factor=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_table).reshape(V, D), np.asarray(old_table),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_state.nu).reshape(V, D), np.asarray(old_state.nu),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_two_phase_training_end_to_end():
+    cfg = make_config(task_name="mtl", model_name="mmoe", n_sparse=4,
+                      n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,),
+                      epochs=3, batch_size=128, lr=3e-3,
+                      two_phase_embedding=True)
+    layout, x, y, _ = make_data(cfg, n=800, seed=0)
+    model = get_model("mmoe", layout, cfg)
+    tr = Trainer(model, seed=0).compile()
+    tr.fit(x, y, batch_size=128, epochs=3, verbose=0)
+    assert np.isfinite(tr.history[-1]["loss"])
+    assert tr.history[-1]["loss"] < tr.history[0]["loss"]
+    table = np.asarray(tr.variables["params"]["embeddings"]["fused"]["table"])
+    assert np.abs(table).max() > 1e-3
+
+
+def test_two_phase_block_shuffle_end_to_end():
+    cfg = make_config(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+                      n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,),
+                      epochs=2, batch_size=128, lr=3e-3,
+                      two_phase_embedding=True)
+    layout, x, y, _ = make_data(cfg, n=700, seed=0)  # non-divisible -> pad tail
+    model = get_model("sharedbottom", layout, cfg)
+    tr = Trainer(model, seed=0).compile()
+    tr.fit(x, y, batch_size=128, epochs=2, shuffle="block", verbose=0)
+    assert np.isfinite(tr.history[-1]["loss"])
+
+
+def test_two_phase_matches_sparse_update_path():
+    """Both flags implement SparseAdam; same data + seed must give (nearly)
+    identical tables after training."""
+    kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+              n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,), epochs=2,
+              batch_size=128, lr=3e-3)
+    tables = {}
+    for name, extra in (
+        ("rowupd", {"sparse_embedding_update": True}),
+        ("twophase", {"two_phase_embedding": True}),
+    ):
+        cfg = make_config(**kw, **extra)
+        layout, x, y, _ = make_data(cfg, n=800, seed=0)
+        model = get_model("sharedbottom", layout, cfg)
+        tr = Trainer(model, seed=0).compile()
+        tr.fit(x, y, batch_size=128, epochs=2, verbose=0)
+        tables[name] = np.asarray(
+            tr.variables["params"]["embeddings"]["fused"]["table"]
+        )
+    np.testing.assert_allclose(tables["twophase"], tables["rowupd"],
+                               rtol=1e-4, atol=1e-6)
