@@ -775,11 +775,11 @@ class Trainer:
             state["table_opt"] = init_sparse_adam(
                 params["embeddings"]["fused"]["table"]
             )
-        if self.two_phase_embedding and self.mesh is not None:
-            raise NotImplementedError(
-                "two_phase_embedding with a device mesh lands with the "
-                "multi-chip embedding all-to-all (roadmap)"
-            )
+        # two_phase_embedding composes with a mesh through GSPMD: the table
+        # (and its mu/nu) stay vocab-row-sharded over 'model', the row
+        # gathers/scatter-adds are partitioned by XLA with the all-to-all /
+        # all-gather collectives inserted automatically
+        # (tests/test_sharding.py::test_two_phase_sharded_matches_single_device)
 
         if resume_from is not None:
             state, initial_epoch = self._restore_training_state(resume_from, state)

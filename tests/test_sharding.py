@@ -71,3 +71,23 @@ def test_shard_batch_handles_none():
     out = shard_batch(batch, mesh)
     assert out[1] is None
     assert "data" in str(out[0].sharding.spec)
+
+
+def test_two_phase_sharded_matches_single_device():
+    """two_phase_embedding under a (data, model) mesh: GSPMD partitions the
+    row gather / scatter-add path; numerics match the unsharded run."""
+    def setup(mesh):
+        cfg = make_config(task_name="mtl", model_name="mmoe", n_sparse=4,
+                          n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,),
+                          batch_size=64, lr=3e-3, two_phase_embedding=True)
+        layout, x, y, _ = make_data(cfg, n=512, seed=0)
+        model = get_model("mmoe", layout, cfg)
+        return Trainer(model, seed=0, mesh=mesh).compile(), x, y
+
+    tr_single, x, y = setup(None)
+    tr_single.fit(x, y, batch_size=64, epochs=1, verbose=0, shuffle=False)
+    tr_mesh, x2, y2 = setup(create_mesh(data=4, model=2))
+    tr_mesh.fit(x2, y2, batch_size=64, epochs=1, verbose=0, shuffle=False)
+    p1 = tr_single.predict(x, batch_size=64)
+    p2 = tr_mesh.predict(x2, batch_size=64)
+    np.testing.assert_allclose(p1, p2, rtol=2e-3, atol=2e-4)
