@@ -100,10 +100,25 @@ def run_reference(config, seed):
 
     sys.path.insert(0, REF)
     from utils.data_utils import ctrdataset as ref_ctrdataset
-    from model.mmoe import MMOE as RefMMOE
-    from model.sharedbottom import SharedBottom as RefSB
-    from model.esmm import ESMM as RefESMM
-    from model.ple import PLE as RefPLE
+
+    def ref_cls(name):
+        import importlib
+
+        mod_cls = {
+            "mmoe": ("mmoe", "MMOE"),
+            "sharedbottom": ("sharedbottom", "SharedBottom"),
+            "esmm": ("esmm", "ESMM"),
+            "ple": ("ple", "PLE"),
+            "mlp": ("mlp", "MLP"),
+            "snr_trans": ("snr_trans", "SNR_trans"),
+            "mssm": ("mssm", "MSSM"),
+            "cross_stitch": ("cross_stitch", "CrossStitch"),
+            "hmoe": ("hmoe", "HMOE"),
+            "aitm": ("aitm", "AITM"),
+            "escm": ("escm", "ESCM"),
+        }[name]
+        m = importlib.import_module(f"model.{mod_cls[0]}")
+        return getattr(m, mod_cls[1])
 
     random.seed(seed)
     np.random.seed(seed)
@@ -112,7 +127,7 @@ def run_reference(config, seed):
     cfg = copy.deepcopy(config)
     train, test, _, tr_in, te_in, _, dnn_cols = ref_ctrdataset(cfg)
     name = cfg["model_config"]["model_name"]
-    cls = {"mmoe": RefMMOE, "sharedbottom": RefSB, "esmm": RefESMM, "ple": RefPLE}[name]
+    cls = ref_cls(name)
     model = cls(dnn_cols, device="cpu", config=cfg)
     model.compile(optimizer="adam",
                   loss=["binary_crossentropy", "binary_crossentropy"],
@@ -157,12 +172,14 @@ def run_ours(config, seed):
 
 
 def main():
+    models = sys.argv[1].split(",") if len(sys.argv) > 1 else MODELS
+    seeds = [int(s) for s in sys.argv[2].split(",")] if len(sys.argv) > 2 else SEEDS
     tmpdir = tempfile.mkdtemp()
     train_p, test_p = make_csvs(tmpdir)
     results = {}
-    for model_name in MODELS:
+    for model_name in models:
         config = make_config(train_p, test_p, model_name)
-        for seed in SEEDS:
+        for seed in seeds:
             ref_auc = run_reference(config, seed)
             our_auc = run_ours(config, seed)
             results[f"{model_name}_seed{seed}"] = {

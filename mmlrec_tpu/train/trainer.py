@@ -772,9 +772,13 @@ class Trainer:
         if self.sparse_embedding_update or self.two_phase_embedding:
             from .sparse_embedding import init_sparse_adam
 
-            state["table_opt"] = init_sparse_adam(
-                params["embeddings"]["fused"]["table"]
-            )
+            # warm moments persist across fit() calls, like opt_state above
+            if prev is not None and "table_opt" in prev:
+                state["table_opt"] = prev["table_opt"]
+            else:
+                state["table_opt"] = init_sparse_adam(
+                    params["embeddings"]["fused"]["table"]
+                )
         # two_phase_embedding composes with a mesh through GSPMD: the table
         # (and its mu/nu) stay vocab-row-sharded over 'model', the row
         # gathers/scatter-adds are partitioned by XLA with the all-to-all /
