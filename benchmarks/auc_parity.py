@@ -52,17 +52,22 @@ def make_csvs(tmpdir: str):
 
 
 def make_config(train_p, test_p, model_name):
+    data_config = {
+        "data_name": "parity",
+        "train_dataset_path": train_p,
+        "test_dataset_path": test_p,
+        "all_columns": [f"c{i}" for i in range(7)] + ["n0", "n1", "label", "label2"],
+        "feature_columns": [f"c{i}" for i in range(7)],
+        "dense_columns": ["n0", "n1"],
+        "ignore_columns": [],
+        "label_columns": ["label", "label2"],
+    }
+    if model_name in ("apg", "pepnet"):
+        # scene-conditioned families read the scene embedding
+        # (reference model/apg.py:136-141, model/pepnet.py:90-97)
+        data_config["scene_feature"] = "c6"
     return {
-        "data_config": {
-            "data_name": "parity",
-            "train_dataset_path": train_p,
-            "test_dataset_path": test_p,
-            "all_columns": [f"c{i}" for i in range(7)] + ["n0", "n1", "label", "label2"],
-            "feature_columns": [f"c{i}" for i in range(7)],
-            "dense_columns": ["n0", "n1"],
-            "ignore_columns": [],
-            "label_columns": ["label", "label2"],
-        },
+        "data_config": data_config,
         "model_config": {
             "task_name": "mtl",
             "model_name": model_name,
@@ -116,6 +121,9 @@ def run_reference(config, seed):
             "hmoe": ("hmoe", "HMOE"),
             "aitm": ("aitm", "AITM"),
             "escm": ("escm", "ESCM"),
+            "apg": ("apg", "APG"),
+            "pepnet": ("pepnet", "PepNet"),
+            "star": ("star", "STAR"),
         }[name]
         m = importlib.import_module(f"model.{mod_cls[0]}")
         return getattr(m, mod_cls[1])
