@@ -777,7 +777,9 @@ class Trainer:
                 state["table_opt"] = prev["table_opt"]
             else:
                 state["table_opt"] = init_sparse_adam(
-                    params["embeddings"]["fused"]["table"]
+                    params["embeddings"]["fused"]["table"],
+                    # e.g. "bfloat16" halves moment HBM at production vocab
+                    dtype=self.cfg.model_config.extra.get("table_opt_dtype"),
                 )
         # two_phase_embedding composes with a mesh through GSPMD: the table
         # (and its mu/nu) stay vocab-row-sharded over 'model', the row

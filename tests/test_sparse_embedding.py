@@ -197,3 +197,29 @@ def test_two_phase_matches_sparse_update_path():
         )
     np.testing.assert_allclose(tables["twophase"], tables["rowupd"],
                                rtol=1e-4, atol=1e-6)
+
+
+def test_two_phase_bf16_moments():
+    """table_opt_dtype=bfloat16 halves moment storage; training stays sane
+    and close to the f32-moment run."""
+    kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+              n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,), epochs=3,
+              batch_size=128, lr=3e-3)
+    tables = {}
+    for name, extra in (
+        ("f32", {"two_phase_embedding": True}),
+        ("bf16", {"two_phase_embedding": True, "table_opt_dtype": "bfloat16"}),
+    ):
+        cfg = make_config(**kw, **extra)
+        layout, x, y, _ = make_data(cfg, n=800, seed=0)
+        model = get_model("sharedbottom", layout, cfg)
+        tr = Trainer(model, seed=0).compile()
+        tr.fit(x, y, batch_size=128, epochs=3, verbose=0)
+        if name == "bf16":
+            assert tr._train_state["table_opt"].mu.dtype == jnp.bfloat16
+        assert np.isfinite(tr.history[-1]["loss"])
+        tables[name] = np.asarray(
+            tr.variables["params"]["embeddings"]["fused"]["table"]
+        )
+    # moments rounding perturbs rows only slightly
+    np.testing.assert_allclose(tables["bf16"], tables["f32"], atol=5e-3)
