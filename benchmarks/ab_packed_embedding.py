@@ -97,7 +97,9 @@ def make_step(variant: str, vocab_per_feature=1_000_000, n_sparse=10, emb_dim=32
 
     def chain_sync(s):
         leaf = jax.tree_util.tree_leaves(s["params"])[0]
-        return float(np.asarray(leaf).ravel()[0])
+        # scalar-index on device: np.asarray(whole leaf) downloads GBs through
+        # the relay, and .ravel() materializes an on-device copy
+        return float(np.asarray(leaf[(0,) * leaf.ndim]))
 
     def run(iters=10):
         nonlocal state

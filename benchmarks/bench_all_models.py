@@ -53,7 +53,9 @@ def bench_model(name: str, batch_size: int = 4096, iters: int = 200):
         # block_until_ready does not reliably block on this backend
         # (docs/perf_notes.md) — force a dependency-chained host readback
         leaf = jax.tree_util.tree_leaves(s["params"])[0]
-        return float(np.asarray(leaf).ravel()[0])
+        # scalar-index on device: np.asarray(whole leaf) downloads GBs through
+        # the relay, and .ravel() materializes an on-device copy
+        return float(np.asarray(leaf[(0,) * leaf.ndim]))
 
     for _ in range(3):
         state, *_ = step(state, batch)

@@ -62,7 +62,9 @@ def bench(vocab_per_feature: int, n_sparse: int, emb_dim: int,
     def chain_sync(s):
         # block_until_ready is unreliable on this backend (docs/perf_notes.md)
         leaf = jax.tree_util.tree_leaves(s["params"])[0]
-        return float(np.asarray(leaf).ravel()[0])
+        # scalar-index on device: np.asarray(whole leaf) downloads GBs through
+        # the relay, and .ravel() materializes an on-device copy
+        return float(np.asarray(leaf[(0,) * leaf.ndim]))
 
     for _ in range(3):
         state, *_ = step(state, batch)
