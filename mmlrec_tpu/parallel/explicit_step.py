@@ -1,0 +1,141 @@
+"""Explicit-collective two-phase train step (shard_map over (data, model)).
+
+Builds a drop-in replacement for Trainer._step_body_two_phase in which every
+cross-device exchange is hand-placed instead of left to GSPMD
+(parallel/shard_embedding.py has the rationale).  Per step, the collective
+schedule is exactly:
+
+  1. ``owned_gather``: one [K_local, D] psum over 'model' — the distributed
+     row fetch for this data shard's ids;
+  2. one psum of the dense-parameter gradients over 'data' (the classic DP
+     gradient all-reduce);
+  3. one tiled all-gather of (flat_ids, row-cotangents) over 'data' — the
+     ID/gradient exchange that routes every touched row's gradient to its
+     owner shard;
+  4. owner-local masked scatter-adds for the SparseAdam table/moment
+     updates — zero collectives.
+
+Numerics match the single-device two-phase step exactly (modulo f32
+reduction order); pinned by tests/test_sharding.py.
+
+Scope gates (explicit path only — the GSPMD path has no such limits):
+batch_stats must be empty (cross-replica batch-norm would need a stats
+psum) and dropout must be 0 (per-shard PRNG streams would decorrelate from
+the global-batch stream).  All flagship configs satisfy both.
+
+Reference: the rebuilt exchange has no counterpart — the reference's only
+parallelism is ``torch.nn.DataParallel`` (model/basemodel.py:235-238).
+
+Enable with ``model_config.explicit_collective_embedding: true`` together
+with ``two_phase_embedding: true`` and a (data, model) mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from ..train.sparse_embedding import SparseAdamState
+from .shard_embedding import owned_gather, sharded_two_phase_sparse_adam
+
+
+def make_explicit_two_phase_step(trainer):
+    """-> step(state, batch) with the Trainer's standard signatures."""
+    mesh = trainer.mesh
+    if mesh is None or "data" not in mesh.shape or "model" not in mesh.shape:
+        raise ValueError("explicit_collective_embedding needs a (data, model) mesh")
+    if float(trainer.cfg.model_config.dnn_dropout or 0.0) != 0.0:
+        raise NotImplementedError(
+            "explicit_collective_embedding requires dnn_dropout == 0 "
+            "(per-shard dropout streams would diverge from the global batch)"
+        )
+    n_data = mesh.shape["data"]
+    dim = trainer._emb_dim
+    pack_factor = trainer._emb_pack_factor
+    lr = trainer.cfg.optim_config.lr
+    offsets = trainer._fused_offsets
+
+    def body(rest, table, topt, opt_state, rng, ids, dense, y, dmask, weight,
+             inv, rep):
+        B_loc, F = ids.shape
+        k_loc = B_loc * F
+        shard_i = jax.lax.axis_index("data")
+        flat_local = (ids + offsets[None, :]).reshape(-1)
+        rows = owned_gather(table, flat_local, dim, pack_factor)  # psum 'model'
+        rng, step_rng = jax.random.split(rng)
+        # rep slice for this data shard: partitions the touched-rows L2 term
+        rep_local = jax.lax.dynamic_slice_in_dim(rep, shard_i * k_loc, k_loc)
+        inv_local = jax.lax.dynamic_slice_in_dim(inv, shard_i * k_loc, k_loc)
+        local_batch = (ids, dense, y, dmask, weight, inv_local, rep_local)
+
+        def local_obj(rest_, rows_):
+            return trainer._loss_terms_injected(
+                rest_, table, rows_.reshape(B_loc, F, dim), {}, local_batch,
+                step_rng, reg_scale=1.0 / n_data,
+            )
+
+        (total_loss, (data_loss, _stats, probs)), (g_rest, g_rows) = (
+            jax.value_and_grad(local_obj, argnums=(0, 1), has_aux=True)(
+                rest, rows.reshape(B_loc * F, dim)
+            )
+        )
+        total_loss = jax.lax.psum(total_loss, "data")
+        data_loss = jax.lax.psum(data_loss, "data")
+        g_rest = jax.lax.psum(g_rest, "data")  # DP gradient all-reduce
+
+        # ID/grad exchange: route every data shard's row cotangents to the
+        # vocab owners.  tiled all-gather reassembles the global batch order
+        # (shard_batch splits rows contiguously), so the host-precomputed
+        # global (inv, rep) dedup metadata applies verbatim.
+        flat_all = jax.lax.all_gather(flat_local, "data", tiled=True)
+        g_rows_all = jax.lax.all_gather(g_rows, "data", tiled=True)
+        new_table, new_topt = sharded_two_phase_sparse_adam(
+            table, g_rows_all, flat_all, inv, rep, topt,
+            lr=lr, pack_factor=pack_factor,
+        )
+        updates, opt_state = trainer.tx.update(g_rest, opt_state, rest)
+        rest = optax.apply_updates(rest, updates)
+        return (rest, new_table, new_topt, opt_state, rng, total_loss,
+                data_loss, probs)
+
+    row_sharded = P("model", None)
+    topt_spec = SparseAdamState(mu=row_sharded, nu=row_sharded, count=P())
+
+    def step(state, batch):
+        ids, dense, y, dmask, weight, inv, rep = batch
+        rest, table = trainer._without_table(state["params"])
+        if state.get("batch_stats"):
+            raise NotImplementedError(
+                "explicit_collective_embedding does not support batch_stats "
+                "models (cross-replica batch norm); use the GSPMD path"
+            )
+        batch_specs = (
+            P("data", None), P("data", None), P("data", None),
+            None if dmask is None else P("data", None), P("data"), P(), P(),
+        )
+        fn = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), row_sharded, topt_spec, P(), P()) + batch_specs,
+            out_specs=(P(), row_sharded, topt_spec, P(), P(), P(), P(),
+                       P("data", None)),
+            check_vma=False,
+        )
+        (rest, table, topt, opt_state, rng, total_loss, data_loss, probs) = fn(
+            rest, table, state["table_opt"], state["opt_state"], state["rng"],
+            ids, dense, y, dmask, weight, inv, rep,
+        )
+        new_state = {
+            "params": trainer._with_table(rest, table),
+            "batch_stats": state.get("batch_stats", {}),
+            "opt_state": opt_state,
+            "rng": rng,
+            "table_opt": topt,
+        }
+        if "epoch_step" in state:
+            new_state["epoch_step"] = state["epoch_step"]
+        return new_state, total_loss, data_loss, probs
+
+    return jax.jit(step)

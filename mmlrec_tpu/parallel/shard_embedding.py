@@ -1,0 +1,149 @@
+"""Explicit collective embedding exchange (shard_map, hand-placed collectives).
+
+The default meshed path leaves collective placement to GSPMD: the fused
+table is row-sharded over the ``model`` axis and XLA partitions the
+gather/scatter programs automatically (parallel/mesh.py).  This module is
+the *explicit* formulation of the same exchange — SURVEY.md §7.6's
+"all-to-all ID/grad exchange" spelled out as shard_map bodies — so that
+
+* the collective schedule is pinned (one psum for the forward row fetch,
+  one tiled all-gather for the row-gradient exchange, zero collectives for
+  the owner-side scatter-adds), immune to GSPMD heuristic shifts;
+* the per-device programs stay small and compile fast through the remote
+  relay (GSPMD partitions of large-gather programs compiled pathologically
+  slowly, docs/perf_notes.md);
+* multi-chip behavior is testable on the virtual CPU mesh exactly as it
+  will run over ICI.
+
+Layout contract (matches parallel/mesh.py::variable_shardings):
+  table/mu/nu  [R, C] row-sharded P('model', None) — R is the PHYSICAL row
+  count (lane-packed tables keep their [rows/P, 128] layout; primitives
+  take ``pack_factor`` and translate logical->physical internally);
+  ids replicated along 'model', batch-sharded along 'data'.
+
+The reference has no distributed embedding at all (one replicated
+``nn.Embedding`` per feature, model/utils.py:466-488; its only parallelism
+is ``torch.nn.DataParallel``, model/basemodel.py:235-238) — this subsystem
+is the north-star addition, not a port.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..train.sparse_embedding import SparseAdamState
+
+# ---------------------------------------------------------------------------
+# Primitives — run INSIDE a shard_map body.  ``shard`` is this device's
+# [R_local, C] slice of a row-sharded array; global physical row r lives on
+# device r // R_local at local row r % R_local (contiguous row sharding,
+# which is what P('model', None) on a [R, C] array means).
+# ---------------------------------------------------------------------------
+
+
+def owned_gather(
+    shard: jnp.ndarray,
+    flat_ids: jnp.ndarray,
+    dim: int,
+    pack_factor: int,
+    axis_name: str = "model",
+) -> jnp.ndarray:
+    """[K] logical row ids (replicated along axis_name) -> [K, dim] rows.
+
+    Each device serves the ids whose physical row it owns (zeros elsewhere);
+    one psum over ``axis_name`` assembles the full answer.  This is the
+    masked-partial + reduce formulation of the distributed lookup: with K
+    rows of D floats the wire cost is one [K, D] reduction over ICI,
+    independent of the table size.
+    """
+    P = pack_factor
+    phys = flat_ids // P if P > 1 else flat_ids
+    r_local = shard.shape[0]
+    base = jax.lax.axis_index(axis_name) * r_local
+    local = phys - base
+    owned = (local >= 0) & (local < r_local)
+    got = jnp.take(shard, jnp.clip(local, 0, r_local - 1), axis=0)
+    got = jnp.where(owned[:, None], got, 0)
+    if P > 1:
+        sub = jax.nn.one_hot(flat_ids % P, P, dtype=shard.dtype)
+        got = jnp.einsum("kp,kpd->kd", sub, got.reshape(-1, P, dim))
+    return jax.lax.psum(got, axis_name)
+
+
+def owned_scatter_add(
+    shard: jnp.ndarray,
+    flat_ids: jnp.ndarray,
+    delta: jnp.ndarray,
+    pack_factor: int,
+    axis_name: str = "model",
+) -> jnp.ndarray:
+    """shard.at[owned logical rows] += delta, no collective.
+
+    ``delta`` [K, dim] must already be identical on every device of
+    ``axis_name`` (replicated), so each owner adds exactly its own rows;
+    out-of-range (non-owned) indices drop.
+    """
+    P = pack_factor
+    phys = flat_ids // P if P > 1 else flat_ids
+    r_local = shard.shape[0]
+    base = jax.lax.axis_index(axis_name) * r_local
+    local = phys - base
+    # non-owned rows -> r_local, dropped by mode="drop" (negative indices
+    # would WRAP NumPy-style, not drop)
+    local = jnp.where((local >= 0) & (local < r_local), local, r_local)
+    if P > 1:
+        dim = delta.shape[-1]
+        sub = jax.nn.one_hot(flat_ids % P, P, dtype=delta.dtype)
+        delta = jnp.einsum("kp,kd->kpd", sub, delta).reshape(-1, P * dim)
+    return shard.at[local].add(delta, mode="drop")
+
+
+def sharded_two_phase_sparse_adam(
+    table_shard: jnp.ndarray,
+    g_rows: jnp.ndarray,  # [K, D] global row cotangents, replicated on 'model'
+    flat_ids: jnp.ndarray,  # [K] global logical ids, replicated
+    inv: jnp.ndarray,
+    rep: jnp.ndarray,
+    state: SparseAdamState,  # mu/nu row-sharded like the table
+    lr: float,
+    pack_factor: int = 1,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    axis_name: str = "model",
+) -> Tuple[jnp.ndarray, SparseAdamState]:
+    """train/sparse_embedding.py::two_phase_sparse_adam on row-sharded
+    table/moments: the moment row fetches are owned_gathers (one [K, D]
+    psum each) and every update is an owner-local masked scatter-add."""
+    dim = g_rows.shape[-1]
+    count = state.count + 1
+    t = count.astype(jnp.float32)
+    mdt = state.mu.dtype
+    g_sum = jnp.zeros_like(g_rows).at[inv].add(g_rows)
+    mu_rows = owned_gather(state.mu, flat_ids, dim, pack_factor, axis_name)
+    nu_rows = owned_gather(state.nu, flat_ids, dim, pack_factor, axis_name)
+    mu_f = mu_rows.astype(jnp.float32)
+    nu_f = nu_rows.astype(jnp.float32)
+    new_mu = b1 * mu_f + (1.0 - b1) * g_sum
+    new_nu = b2 * nu_f + (1.0 - b2) * g_sum * g_sum
+    mu_hat = new_mu / (1.0 - b1**t)
+    nu_hat = new_nu / (1.0 - b2**t)
+    r = rep[:, None]
+    table_shard = owned_scatter_add(
+        table_shard, flat_ids,
+        -lr * mu_hat / (jnp.sqrt(nu_hat) + eps) * r, pack_factor, axis_name,
+    )
+    mu = owned_scatter_add(
+        state.mu, flat_ids,
+        (new_mu.astype(mdt) - mu_rows.astype(mdt)) * r.astype(mdt),
+        pack_factor, axis_name,
+    )
+    nu = owned_scatter_add(
+        state.nu, flat_ids,
+        (new_nu.astype(mdt) - nu_rows.astype(mdt)) * r.astype(mdt),
+        pack_factor, axis_name,
+    )
+    return table_shard, SparseAdamState(mu=mu, nu=nu, count=count)

@@ -307,13 +307,20 @@ class Trainer:
         emb["fused"] = fused
         return {**rest, "embeddings": emb}
 
-    def _loss_terms_injected(self, rest, table, rows, batch_stats, batch, rng):
+    def _loss_terms_injected(self, rest, table, rows, batch_stats, batch, rng,
+                             reg_scale: float = 1.0):
         """_loss_terms with pre-gathered embedding rows.
 
         ``table`` is a non-differentiated argument; the embedding penalty is
         the sparse form (touched unique rows only), matching SparseAdam's
         touched-rows-only philosophy — exact equality with the dense L2 holds
         when l2_reg_embedding == 0 (all reference configs that matter).
+
+        ``reg_scale`` scales only the replicated-parameter L2 term: inside an
+        explicit data-parallel shard_map body (parallel/explicit_step.py) the
+        per-shard objectives are psum-reduced, so the shard-local replicated
+        penalty must be 1/n_data of the global one.  The touched-rows penalty
+        is already partitioned (rows and the rep slice are shard-local).
         """
         mc = self.cfg.model_config
         ids, dense, y, dmask, weight, inv, rep = batch
@@ -338,7 +345,7 @@ class Trainer:
                 mc.loss_weights if mc.extra.get("use_loss_weights") else None
             ),
         )
-        reg = l2_regularization(rest, mc.l2_reg_embedding, mc.l2_reg_dnn)
+        reg = reg_scale * l2_regularization(rest, mc.l2_reg_embedding, mc.l2_reg_dnn)
         if mc.l2_reg_embedding:
             flat_rows = rows.reshape(-1, rows.shape[-1])
             reg = reg + mc.l2_reg_embedding * jnp.sum(
@@ -526,6 +533,18 @@ class Trainer:
         return fn
 
     def _make_train_step(self):
+        if (
+            self.mesh is not None
+            and self.two_phase_embedding
+            and self.cfg.model_config.extra.get("explicit_collective_embedding")
+        ):
+            # hand-placed collectives instead of GSPMD partitioning
+            # (parallel/explicit_step.py)
+            from ..parallel.explicit_step import make_explicit_two_phase_step
+
+            return self._cached(
+                "train_step", lambda: make_explicit_two_phase_step(self)
+            )
         return self._cached(
             "train_step", lambda: jax.jit(self._step_body, donate_argnums=self._donate)
         )

@@ -1,0 +1,184 @@
+"""Explicit shard_map collective embedding path (parallel/shard_embedding.py,
+parallel/explicit_step.py) on the 8-way virtual CPU mesh: primitive-level
+equality with the dense formulations and full-train-step equality with the
+single-device two-phase step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mmlrec_tpu.models import get_model
+from mmlrec_tpu.parallel import create_mesh
+from mmlrec_tpu.parallel.shard_embedding import (
+    owned_gather,
+    owned_scatter_add,
+    sharded_two_phase_sparse_adam,
+)
+from mmlrec_tpu.synthetic import make_config, make_data
+from mmlrec_tpu.train import Trainer
+from mmlrec_tpu.train.sparse_embedding import (
+    SparseAdamState,
+    batch_dedup_metadata,
+    gather_rows,
+    init_sparse_adam,
+    two_phase_sparse_adam,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _mesh1d(n=8):
+    return jax.sharding.Mesh(np.asarray(jax.devices()[:n]), ("model",))
+
+
+def _shard_rows(mesh, x):
+    return jax.device_put(x, NamedSharding(mesh, P("model", *[None] * (x.ndim - 1))))
+
+
+@pytest.mark.parametrize("pack_factor", [1, 4])
+def test_owned_gather_matches_dense(pack_factor):
+    mesh = _mesh1d()
+    rng = np.random.default_rng(0)
+    dim = 8
+    rows_phys, cols = 64, dim * pack_factor  # 64 physical rows over 8 devices
+    table = jnp.asarray(rng.normal(size=(rows_phys, cols)), jnp.float32)
+    n_logical = rows_phys * pack_factor
+    ids = jnp.asarray(rng.integers(0, n_logical, 37), jnp.int32)
+
+    want = gather_rows(table, ids, dim, pack_factor)
+    got = jax.jit(
+        jax.shard_map(
+            lambda t, i: owned_gather(t, i, dim, pack_factor),
+            mesh=mesh, in_specs=(P("model", None), P()), out_specs=P(),
+            check_vma=False,
+        )
+    )(_shard_rows(mesh, table), ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+@pytest.mark.parametrize("pack_factor", [1, 4])
+def test_owned_scatter_add_matches_dense(pack_factor):
+    mesh = _mesh1d()
+    rng = np.random.default_rng(1)
+    dim = 8
+    rows_phys, cols = 64, dim * pack_factor
+    table = jnp.asarray(rng.normal(size=(rows_phys, cols)), jnp.float32)
+    n_logical = rows_phys * pack_factor
+    # unique ids (scatter-add order under duplicates is the caller's concern)
+    ids = jnp.asarray(rng.permutation(n_logical)[:37].astype(np.int32))
+    delta = jnp.asarray(rng.normal(size=(37, dim)), jnp.float32)
+
+    from mmlrec_tpu.train.sparse_embedding import _scatter_add_rows
+
+    want = _scatter_add_rows(table, ids, delta, pack_factor)
+    got = jax.jit(
+        jax.shard_map(
+            lambda t, i, d: owned_scatter_add(t, i, d, pack_factor),
+            mesh=mesh, in_specs=(P("model", None), P(), P()),
+            out_specs=P("model", None), check_vma=False,
+        )
+    )(_shard_rows(mesh, table), ids, delta)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+@pytest.mark.parametrize("pack_factor,mdt", [(1, None), (4, None), (1, "bfloat16")])
+def test_sharded_sparse_adam_matches_dense(pack_factor, mdt):
+    mesh = _mesh1d()
+    rng = np.random.default_rng(2)
+    dim = 8
+    rows_phys, cols = 64, dim * pack_factor
+    table = jnp.asarray(rng.normal(size=(rows_phys, cols)), jnp.float32)
+    n_logical = rows_phys * pack_factor
+    K = 48
+    flat = rng.integers(0, n_logical, (1, K))  # duplicates likely
+    inv, rep = batch_dedup_metadata(flat)
+    flat_ids = jnp.asarray(flat[0], jnp.int32)
+    inv, rep = jnp.asarray(inv[0]), jnp.asarray(rep[0])
+    g_rows = jnp.asarray(rng.normal(size=(K, dim)), jnp.float32)
+    state = init_sparse_adam(table, dtype=mdt)
+    # a couple of warm steps so moments are nonzero
+    t1, s1 = two_phase_sparse_adam(table, g_rows, flat_ids, inv, rep, state,
+                                   lr=1e-2, pack_factor=pack_factor)
+    t2, s2 = two_phase_sparse_adam(t1, 0.5 * g_rows, flat_ids, inv, rep, s1,
+                                   lr=1e-2, pack_factor=pack_factor)
+
+    def sharded(t, mu, nu, cnt, g, f, iv, rp):
+        st = SparseAdamState(mu=mu, nu=nu, count=cnt)
+        nt, ns = sharded_two_phase_sparse_adam(
+            t, g, f, iv, rp, st, lr=1e-2, pack_factor=pack_factor)
+        return nt, ns.mu, ns.nu, ns.count
+
+    rs = P("model", None)
+    fn = jax.jit(jax.shard_map(
+        sharded, mesh=mesh,
+        in_specs=(rs, rs, rs, P(), P(), P(), P(), P()),
+        out_specs=(rs, rs, rs, P()), check_vma=False,
+    ))
+    st, smu, snu, scnt = fn(_shard_rows(mesh, table), _shard_rows(mesh, state.mu),
+                            _shard_rows(mesh, state.nu), state.count,
+                            g_rows, flat_ids, inv, rep)
+    st, smu, snu, scnt = fn(st, smu, snu, scnt, 0.5 * g_rows, flat_ids, inv, rep)
+    np.testing.assert_allclose(np.asarray(st), np.asarray(t2), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(smu), np.asarray(s2.mu), rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(snu), np.asarray(s2.nu), rtol=1e-5,
+                               atol=1e-7)
+    assert int(scnt) == int(s2.count) == 2
+
+
+def _setup_two_phase(mesh, explicit):
+    extra = {"two_phase_embedding": True}
+    if explicit:
+        extra["explicit_collective_embedding"] = True
+    cfg = make_config(task_name="mtl", model_name="mmoe", n_sparse=4,
+                      n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,),
+                      batch_size=64, lr=3e-3, **extra)
+    layout, x, y, _ = make_data(cfg, n=512, seed=0)
+    model = get_model("mmoe", layout, cfg)
+    return Trainer(model, seed=0, mesh=mesh).compile(), x, y
+
+
+def test_explicit_step_matches_single_device():
+    """Full fit() through the explicit shard_map step == unsharded two-phase."""
+    tr_single, x, y = _setup_two_phase(None, explicit=False)
+    tr_single.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False)
+    tr_exp, x2, y2 = _setup_two_phase(create_mesh(data=4, model=2),
+                                      explicit=True)
+    tr_exp.fit(x2, y2, batch_size=64, epochs=2, verbose=0, shuffle=False)
+    p1 = tr_single.predict(x, batch_size=64)
+    p2 = tr_exp.predict(x2, batch_size=64)
+    np.testing.assert_allclose(p1, p2, rtol=2e-3, atol=2e-4)
+    # table really is row-sharded over 'model' after training
+    tbl = tr_exp._train_state["params"]["embeddings"]["fused"]["table"]
+    spec = tbl.sharding.spec
+    assert spec and spec[0] == "model"
+
+
+def test_explicit_step_matches_gspmd_mesh():
+    """Explicit collectives == GSPMD partitioning on the same mesh."""
+    mesh = create_mesh(data=4, model=2)
+    tr_g, x, y = _setup_two_phase(mesh, explicit=False)
+    tr_g.fit(x, y, batch_size=64, epochs=1, verbose=0, shuffle=False)
+    tr_e, x2, y2 = _setup_two_phase(create_mesh(data=4, model=2),
+                                    explicit=True)
+    tr_e.fit(x2, y2, batch_size=64, epochs=1, verbose=0, shuffle=False)
+    p1 = tr_g.predict(x, batch_size=64)
+    p2 = tr_e.predict(x2, batch_size=64)
+    np.testing.assert_allclose(p1, p2, rtol=2e-3, atol=2e-4)
+
+
+def test_explicit_step_msl_domain_mask():
+    """msl regime (domain_mask present in the batch) through the explicit path."""
+    extra = {"two_phase_embedding": True, "explicit_collective_embedding": True}
+    cfg = make_config(task_name="msl", model_name="mmoe", n_sparse=4,
+                      n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,),
+                      batch_size=64, lr=3e-3, **extra)
+    layout, x, y, _ = make_data(cfg, n=256, seed=1)
+    model = get_model("mmoe", layout, cfg)
+    tr = Trainer(model, seed=0, mesh=create_mesh(data=4, model=2)).compile()
+    tr.fit(x, y, batch_size=64, epochs=1, verbose=0, shuffle=False)
+    assert np.isfinite(tr.history[-1]["loss"])
