@@ -39,13 +39,16 @@ CONFIGS = [
 
 
 @pytest.mark.parametrize("rel_path,model_override", CONFIGS)
-def test_reference_config_trains(rel_path, model_override):
+def test_reference_config_trains(rel_path, model_override, tmp_path):
     raw = unserialize(os.path.join(REF, rel_path))
     raw = copy.deepcopy(raw)
     raw["training_config"]["epochs"] = 1
     raw["training_config"]["train_batch_size"] = 256
     raw["training_config"]["test_batch_size"] = 256
     raw["data_config"]["test_result_path"] = ""
+    # reference configs set save=true / save_path=./checkpoint — keep the
+    # save path exercised but out of the repo tree
+    raw.setdefault("save_config", {})["save_path"] = str(tmp_path / "ckpt")
     if model_override:
         raw["model_config"]["model_name"] = model_override
     cfg = ExperimentConfig.from_dict(raw)
