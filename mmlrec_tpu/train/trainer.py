@@ -152,10 +152,37 @@ class Trainer:
             if isinstance(opt_name, str)
             else opt_name
         )
+        if self._use_flat_optimizer():
+            # One fused vector update for all parameter leaves instead of a
+            # per-tensor kernel fan-out: measured 1.04x on the flagship step
+            # (benchmarks/probe_flat_optimizer.py; chases the ~369 us fixed
+            # per-step cost quantified by benchmarks/batch_scaling.py).
+            # Element-wise optimizers (adam/adagrad/sgd/rmsprop) are
+            # bit-exact under the ravel, so this never changes numerics.
+            self.tx = optax.flatten(self.tx)
         loss = loss if loss is not None else oc.loss
         self.loss_names = [loss] if isinstance(loss, str) else list(loss)
         self.metric_fns = get_metric_fns(metrics if metrics is not None else oc.metrics)
         return self
+
+    def _use_flat_optimizer(self) -> bool:
+        """Flatten is skipped when it could hurt: under a mesh (the fused
+        table's row sharding must survive in the optimizer state), in the
+        legacy masked sparse path (optax.masked's placeholder leaves don't
+        ravel), or when a large table flows through the base optimizer (the
+        ravel would copy it every step).  two_phase_embedding keeps the
+        table out of the base optimizer entirely, so any table size is fine
+        there.  Opt out with model_config.extra["flat_optimizer"] = false."""
+        if self.mesh is not None or self.sparse_embedding_update:
+            return False
+        if not self.cfg.model_config.extra.get("flat_optimizer", True):
+            return False
+        if self.two_phase_embedding:
+            return True
+        table_elems = sum(
+            v * d for (v, d) in self.layout.embedding_specs.values()
+        )
+        return table_elems < (1 << 22)
 
     # ------------------------------------------------------------------
     # input packing
