@@ -51,6 +51,10 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true",
                    help="use synthetic data with the config's schema")
     p.add_argument("--synthetic_rows", type=int, default=20000)
+    p.add_argument("--vmap_seeds", action="store_true",
+                   help="train the whole seed suite CONCURRENTLY as one "
+                        "vmapped program (train/multi_seed.py) instead of "
+                        "the reference's sequential seed loop")
     return p.parse_args()
 
 
@@ -85,6 +89,9 @@ def main():
         from mmlrec_tpu.parallel import create_mesh
 
         mesh = create_mesh(data=args.data_parallel, model=args.model_parallel)
+
+    if args.vmap_seeds and len(seeds) > 1 and mesh is None:
+        return run_vmapped_suite(args, seeds)
 
     for seed in seeds:
         print("seed:", seed)
@@ -135,6 +142,51 @@ def main():
         row = {"type": model_type, **results}
         if trainer.throughput_examples_per_s:
             row["examples_per_s"] = round(trainer.throughput_examples_per_s, 1)
+        print(row)
+        append_result_row(dc.test_result_path, row)
+
+
+def run_vmapped_suite(args, seeds):
+    """All seeds at once: one vmapped train program, per-seed CSV rows
+    (same row schema as the sequential loop)."""
+    import time
+
+    from mmlrec_tpu.train.multi_seed import SeedSuiteTrainer
+
+    cfg = ExperimentConfig.from_file(args.config)
+    if args.run and args.model_name:
+        cfg.model_config.model_name = args.model_name
+    mc, dc, oc, tc = (
+        cfg.model_config, cfg.data_config, cfg.optim_config, cfg.training_config,
+    )
+    print(cfg.to_dict())
+    print(f"vmapped seed suite: {seeds}")
+
+    ds = load_dataset(cfg, args)
+    model = get_model(mc.model_name, ds.layout, cfg)
+    suite = SeedSuiteTrainer(model, seeds=seeds).compile(
+        optimizer=oc.optimizer, loss=oc.loss, metrics=oc.metrics
+    )
+    t0 = time.time()
+    suite.fit(
+        ds.train_input, ds.y_train,
+        batch_size=tc.train_batch_size, epochs=tc.epochs,
+        validation_data=(ds.test_input, ds.y_test),
+    )
+    wall = time.time() - t0
+    preds = suite.predict(ds.test_input, tc.test_batch_size)
+
+    y_test = suite.tr._prepare_y(ds.y_test)
+    for si, seed in enumerate(seeds):
+        results = masked_test_metrics(
+            y_test, preds[si], mc.task_name, dc.num_domains, ds.test_mask,
+            suite.tr.model.task_types,
+        )
+        row = {
+            "type": f"{dc.data_name}_{mc.task_name}_{mc.model_name}_{seed}",
+            **results,
+            "suite_wall_s": round(wall, 1),
+        }
         print(row)
         append_result_row(dc.test_result_path, row)
 

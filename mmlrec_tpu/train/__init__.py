@@ -1,10 +1,12 @@
 from .losses import bce_elementwise, escm_loss, l2_regularization, multitask_loss
 from .metrics import get_metric_fns, masked_test_metrics, regime_eval
+from .multi_seed import SeedSuiteTrainer
 from .optimizers import get_optimizer
 from .pcgrad import pcgrad_merge
 from .trainer import Trainer, get_mask
 
 __all__ = [
+    "SeedSuiteTrainer",
     "Trainer",
     "bce_elementwise",
     "escm_loss",
