@@ -59,6 +59,8 @@ def main():
 
     # ---- vmapped suite step ---------------------------------------------
     suite = SeedSuiteTrainer(model, seeds=SEEDS).compile()
+    # _split_staged needs the stage dims recorded on the suite's trainer
+    suite.tr._stage_dataset(ids_np, dense_np, y2, dmask)
     S = len(SEEDS)
     variables = suite._stacked_init(ids_np[:2], dense_np[:2])
     suite_state = {

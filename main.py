@@ -55,6 +55,10 @@ def parse_args():
                    help="train the whole seed suite CONCURRENTLY as one "
                         "vmapped program (train/multi_seed.py) instead of "
                         "the reference's sequential seed loop")
+    p.add_argument("--export_bundle", type=str, default="",
+                   help="after training, export a self-contained serving "
+                        "bundle (StableHLO + params + packing schema) to "
+                        "<dir>/<data>_<task>_<model>_<seed>/")
     return p.parse_args()
 
 
@@ -144,6 +148,14 @@ def main():
             row["examples_per_s"] = round(trainer.throughput_examples_per_s, 1)
         print(row)
         append_result_row(dc.test_result_path, row)
+
+        if args.export_bundle:
+            from mmlrec_tpu.serving import save_serving_bundle
+
+            bundle_dir = os.path.join(args.export_bundle, model_type)
+            meta = save_serving_bundle(trainer, bundle_dir)
+            print(f"serving bundle -> {bundle_dir} "
+                  f"(batch_mode={meta['batch_mode']})")
 
 
 def run_vmapped_suite(args, seeds):

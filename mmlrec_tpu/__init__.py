@@ -11,11 +11,14 @@ __version__ = "0.1.0"
 
 from .config import ExperimentConfig
 from .features import DenseFeat, FeatureLayout, SparseFeat, VarLenSparseFeat
+from .serving import ServingBundle, save_serving_bundle
 
 __all__ = [
     "DenseFeat",
     "ExperimentConfig",
     "FeatureLayout",
+    "ServingBundle",
     "SparseFeat",
     "VarLenSparseFeat",
+    "save_serving_bundle",
 ]

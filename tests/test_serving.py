@@ -1,0 +1,103 @@
+"""Serving bundles: jax.export round-trip must reproduce Trainer.predict
+exactly, with no model-zoo/config code needed at load time."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mmlrec_tpu.models import get_model
+from mmlrec_tpu.serving import ServingBundle, save_serving_bundle
+from mmlrec_tpu.synthetic import make_config, make_data
+from mmlrec_tpu.train import Trainer
+
+
+def _trained(model_name="mmoe", task_name="mtl", n=256, **kw):
+    cfg = make_config(
+        task_name=task_name, model_name=model_name, emb=4, n_sparse=3,
+        n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,), batch_size=64, **kw,
+    )
+    layout, x, y, _ = make_data(cfg, n=n, seed=0)
+    model = get_model(model_name, layout, cfg)
+    tr = Trainer(model, seed=0).compile(metrics=["auc"])
+    tr.fit(x, y, batch_size=64, epochs=1, verbose=0)
+    return cfg, tr, x
+
+
+def test_bundle_roundtrip_matches_trainer(tmp_path):
+    cfg, tr, x = _trained()
+    meta = save_serving_bundle(tr, str(tmp_path), platforms=["cpu"])
+    bundle = ServingBundle.load(str(tmp_path))
+    np.testing.assert_allclose(
+        bundle.predict(x), tr.predict(x, batch_size=64), atol=1e-6
+    )
+    assert meta["num_heads"] == 2
+    assert os.path.exists(tmp_path / "predict.jaxexport")
+    assert os.path.exists(tmp_path / "params.msgpack")
+
+
+def test_bundle_odd_batch_and_fixed_mode(tmp_path):
+    cfg, tr, x = _trained(n=200)  # not a multiple of any batch size used
+    save_serving_bundle(tr, str(tmp_path), batch_size=64, platforms=["cpu"])
+    bundle = ServingBundle.load(str(tmp_path))
+    # force the fixed-batch pad/trim path regardless of export mode
+    bundle.meta["batch_mode"] = "fixed"
+    bundle.meta["batch_size"] = 64
+    np.testing.assert_allclose(
+        bundle.predict(x), tr.predict(x, batch_size=64), atol=1e-6
+    )
+
+
+def test_bundle_escm_head_selection(tmp_path):
+    cfg, tr, x = _trained(model_name="escm", n=128)
+    save_serving_bundle(tr, str(tmp_path), platforms=["cpu"])
+    bundle = ServingBundle.load(str(tmp_path))
+    preds = bundle.predict(x)
+    # escm keeps [pCTR, pCTCVR] (reference basemodel.py:438-441)
+    assert preds.shape[1] == 2
+    np.testing.assert_allclose(preds, tr.predict(x, batch_size=64), atol=1e-6)
+
+
+def test_bundle_msl_masked_loss_needs_mask(tmp_path):
+    cfg, tr, x = _trained(
+        model_name="sharedbottom", task_name="msl", masked_loss=True
+    )
+    meta = save_serving_bundle(tr, str(tmp_path), platforms=["cpu"])
+    assert meta["needs_mask"]
+    bundle = ServingBundle.load(str(tmp_path))
+    np.testing.assert_allclose(
+        bundle.predict(x), tr.predict(x, batch_size=64), atol=1e-6
+    )
+
+
+def test_bundle_loads_without_model_code(tmp_path):
+    """The loader path touches only serving.py: meta-driven packing, msgpack
+    params, deserialized StableHLO — verified by nulling the registry."""
+    cfg, tr, x = _trained()
+    save_serving_bundle(tr, str(tmp_path), platforms=["cpu"])
+    with open(tmp_path / "meta.json") as f:
+        meta = json.load(f)
+    assert meta["packing"]["sparse"] == [f"s{i}" for i in range(3)]
+    import mmlrec_tpu.models as zoo
+
+    orig = zoo.get_model
+    zoo.get_model = None  # any registry use would crash
+    try:
+        bundle = ServingBundle.load(str(tmp_path))
+        preds = bundle.predict(x)
+    finally:
+        zoo.get_model = orig
+    assert preds.shape == (256, 2)
+    assert np.isfinite(preds).all()
+
+
+def test_bundle_requires_params(tmp_path):
+    cfg = make_config(
+        task_name="mtl", model_name="mmoe", emb=4, n_sparse=3, n_dense=2,
+        hidden=(16,), tower=(8,), gate=(8,), batch_size=64,
+    )
+    layout, x, y, _ = make_data(cfg, n=64, seed=0)
+    tr = Trainer(get_model("mmoe", layout, cfg), seed=0).compile()
+    with pytest.raises(ValueError):
+        save_serving_bundle(tr, str(tmp_path))
