@@ -55,6 +55,10 @@ def parse_args():
                    help="train the whole seed suite CONCURRENTLY as one "
                         "vmapped program (train/multi_seed.py) instead of "
                         "the reference's sequential seed loop")
+    p.add_argument("--sweep_lrs", type=str, default="",
+                   help="comma-separated lr list: train the full "
+                        "(seeds x lrs) grid CONCURRENTLY as one vmapped "
+                        "program (train/sweep.py) and report per-combo rows")
     p.add_argument("--export_bundle", type=str, default="",
                    help="after training, export a self-contained serving "
                         "bundle (StableHLO + params + packing schema) to "
@@ -94,6 +98,9 @@ def main():
 
         mesh = create_mesh(data=args.data_parallel, model=args.model_parallel)
 
+    if args.sweep_lrs and mesh is None:
+        lrs = [float(v) for v in args.sweep_lrs.split(",")]
+        return run_vmapped_suite(args, seeds, lrs=lrs)
     if args.vmap_seeds and len(seeds) > 1 and mesh is None:
         return run_vmapped_suite(args, seeds)
 
@@ -158,12 +165,13 @@ def main():
                   f"(batch_mode={meta['batch_mode']})")
 
 
-def run_vmapped_suite(args, seeds):
-    """All seeds at once: one vmapped train program, per-seed CSV rows
-    (same row schema as the sequential loop)."""
+def run_vmapped_suite(args, seeds, lrs=None):
+    """All seeds (optionally x lrs) at once: one vmapped train program,
+    per-combo CSV rows (same row schema as the sequential loop)."""
     import time
 
     from mmlrec_tpu.train.multi_seed import SeedSuiteTrainer
+    from mmlrec_tpu.train.sweep import GridSweepTrainer
 
     cfg = ExperimentConfig.from_file(args.config)
     if args.run and args.model_name:
@@ -172,13 +180,19 @@ def run_vmapped_suite(args, seeds):
         cfg.model_config, cfg.data_config, cfg.optim_config, cfg.training_config,
     )
     print(cfg.to_dict())
-    print(f"vmapped seed suite: {seeds}")
 
     ds = load_dataset(cfg, args)
     model = get_model(mc.model_name, ds.layout, cfg)
-    suite = SeedSuiteTrainer(model, seeds=seeds).compile(
-        optimizer=oc.optimizer, loss=oc.loss, metrics=oc.metrics
-    )
+    if lrs:
+        print(f"vmapped (seed x lr) grid: seeds={seeds} lrs={lrs}")
+        suite = GridSweepTrainer(model, seeds=seeds, lrs=lrs).compile(
+            optimizer=oc.optimizer, loss=oc.loss, metrics=oc.metrics
+        )
+    else:
+        print(f"vmapped seed suite: {seeds}")
+        suite = SeedSuiteTrainer(model, seeds=seeds).compile(
+            optimizer=oc.optimizer, loss=oc.loss, metrics=oc.metrics
+        )
     t0 = time.time()
     suite.fit(
         ds.train_input, ds.y_train,
@@ -189,13 +203,13 @@ def run_vmapped_suite(args, seeds):
     preds = suite.predict(ds.test_input, tc.test_batch_size)
 
     y_test = suite.tr._prepare_y(ds.y_test)
-    for si, seed in enumerate(seeds):
+    for si, label in enumerate(suite.row_labels):
         results = masked_test_metrics(
             y_test, preds[si], mc.task_name, dc.num_domains, ds.test_mask,
             suite.tr.model.task_types,
         )
         row = {
-            "type": f"{dc.data_name}_{mc.task_name}_{mc.model_name}_{seed}",
+            "type": f"{dc.data_name}_{mc.task_name}_{mc.model_name}_{label}",
             **results,
             "suite_wall_s": round(wall, 1),
         }

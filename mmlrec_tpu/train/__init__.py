@@ -3,9 +3,11 @@ from .metrics import get_metric_fns, masked_test_metrics, regime_eval
 from .multi_seed import SeedSuiteTrainer
 from .optimizers import get_optimizer
 from .pcgrad import pcgrad_merge
+from .sweep import GridSweepTrainer
 from .trainer import Trainer, get_mask
 
 __all__ = [
+    "GridSweepTrainer",
     "SeedSuiteTrainer",
     "Trainer",
     "bce_elementwise",

@@ -35,6 +35,8 @@ class SeedSuiteTrainer:
 
     def __init__(self, model, seeds: Sequence[int] = (0, 2, 4, 8)):
         self.seeds = list(seeds)
+        self.labels = [f"seed{s}" for s in self.seeds]
+        self.row_labels = [str(s) for s in self.seeds]  # result-CSV suffixes
         self.model = model
         # one internal Trainer per seed for seed-faithful init/shuffle
         # streams; trainers[0] additionally provides the shared machinery
@@ -62,6 +64,11 @@ class SeedSuiteTrainer:
     def _stacked_init(self, ids, dense):
         per_seed = [t._init_variables(ids, dense) for t in self.trainers]
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_seed)
+
+    def _init_opt_state(self, params):
+        """Stacked per-seed optimizer state (hook: train/sweep.py overrides
+        this to vary hyperparams along the stacked axis)."""
+        return jax.vmap(self.tr.tx.init)(params)
 
     def _make_vstep(self, steps: int):
         tr = self.tr
@@ -116,7 +123,7 @@ class SeedSuiteTrainer:
         variables = self._stacked_init(ids[:2], dense[:2])
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        opt_state = jax.vmap(tr.tx.init)(params)
+        opt_state = self._init_opt_state(params)
         state = {
             "params": params,
             "batch_stats": batch_stats,
@@ -241,7 +248,7 @@ class SeedSuiteTrainer:
                     self.histories[si].append(per_seed_logs[si])
             if verbose:
                 line = " | ".join(
-                    f"seed{self.seeds[si]}: loss {per_seed_logs[si]['loss']:.4f}"
+                    f"{self.labels[si]}: loss {per_seed_logs[si]['loss']:.4f}"
                     + (
                         f" val_auc {per_seed_logs[si].get('val_auc', float('nan')):.4f}"
                         if val is not None
