@@ -59,6 +59,11 @@ def parse_args():
                    help="comma-separated lr list: train the full "
                         "(seeds x lrs) grid CONCURRENTLY as one vmapped "
                         "program (train/sweep.py) and report per-combo rows")
+    p.add_argument("--device_eval", action="store_true",
+                   help="compute validation metrics on device inside the "
+                        "fused eval program (train/device_metrics.py): only "
+                        "scalars cross the host boundary instead of the "
+                        "[N_test, heads] prediction matrix")
     p.add_argument("--export_bundle", type=str, default="",
                    help="after training, export a self-contained serving "
                         "bundle (StableHLO + params + packing schema) to "
@@ -110,6 +115,8 @@ def main():
         cfg = ExperimentConfig.from_file(args.config)
         if args.run and args.model_name:
             cfg.model_config.model_name = args.model_name
+        if args.device_eval:
+            cfg.training_config.extra["device_eval"] = True
         mc, dc, oc, tc, sc = (
             cfg.model_config, cfg.data_config, cfg.optim_config,
             cfg.training_config, cfg.save_config,
@@ -176,6 +183,8 @@ def run_vmapped_suite(args, seeds, lrs=None):
     cfg = ExperimentConfig.from_file(args.config)
     if args.run and args.model_name:
         cfg.model_config.model_name = args.model_name
+    if args.device_eval:
+        cfg.training_config.extra["device_eval"] = True
     mc, dc, oc, tc = (
         cfg.model_config, cfg.data_config, cfg.optim_config, cfg.training_config,
     )

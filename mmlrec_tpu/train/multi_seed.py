@@ -92,6 +92,13 @@ class SeedSuiteTrainer:
         pred_one = tr._make_predict_fn()
         return jax.jit(jax.vmap(pred_one, in_axes=(0, None, None, None)))
 
+    def _make_veval(self):
+        """Fused predict+metrics vmapped over the seed axis: per-seed
+        regime metrics come back as [S] scalars instead of the
+        [S, N_val, H] prediction matrix (train/device_metrics.py)."""
+        prog = self.tr._build_eval_program()
+        return jax.jit(jax.vmap(prog, in_axes=(0, None, None, None, None, None)))
+
     # ------------------------------------------------------------------
     def fit(
         self,
@@ -158,7 +165,12 @@ class SeedSuiteTrainer:
             if val is not None
             else None
         )
-        vpred = self._make_vpred() if val is not None else None
+        use_dev_eval = val is not None and tr._use_device_eval()
+        val_metric_dev = (
+            tr._prepare_metric_tensors(val[2], val_dev) if use_dev_eval else None
+        )
+        veval = self._make_veval() if use_dev_eval else None
+        vpred = self._make_vpred() if val is not None and not use_dev_eval else None
 
         for epoch in range(epochs):
             t0 = time.time()
@@ -204,19 +216,36 @@ class SeedSuiteTrainer:
             variables = {"params": state["params"], "batch_stats": state["batch_stats"]}
             was_stopped = stopped.copy()
             if val is not None:
-                vprobs = np.asarray(
-                    vpred(variables, val_dev[0], val_dev[1], val_dev[2])
-                )
-                n_val = val_dev[3]
+                if use_dev_eval:
+                    out = veval(
+                        variables, val_dev[0], val_dev[1], val_dev[2],
+                        *val_metric_dev,
+                    )
+                    out_np = {k: np.asarray(v) for k, v in out.items()}
+                    per_seed_res = [
+                        {k: float(v[si]) for k, v in out_np.items()}
+                        for si in range(S)
+                    ]
+                else:
+                    vprobs = np.asarray(
+                        vpred(variables, val_dev[0], val_dev[1], val_dev[2])
+                    )
+                    n_val = val_dev[3]
+                    per_seed_res = []
+                    for si in range(S):
+                        preds = vprobs[si].reshape(-1, vprobs.shape[-1])[:n_val]
+                        preds = preds.astype(np.float64)
+                        if tr.model_name in ("escm", "escm_dr"):
+                            preds = preds[:, [0, 2]]
+                        per_seed_res.append(
+                            regime_eval(
+                                tr.metric_fns, val[2], preds, tr.task_name,
+                                tr.num_domains,
+                            )
+                        )
                 improved = np.zeros(S, bool)
                 for si in range(S):
-                    preds = vprobs[si].reshape(-1, vprobs.shape[-1])[:n_val]
-                    preds = preds.astype(np.float64)
-                    if tr.model_name in ("escm", "escm_dr"):
-                        preds = preds[:, [0, 2]]
-                    res = regime_eval(
-                        tr.metric_fns, val[2], preds, tr.task_name, tr.num_domains
-                    )
+                    res = per_seed_res[si]
                     for k, v in res.items():
                         per_seed_logs[si][f"val_{k}"] = v
                     auc = res.get("auc", 0.0)

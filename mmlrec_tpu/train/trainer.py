@@ -81,6 +81,10 @@ class Trainer:
         self.num_domains = self.cfg.data_config.num_domains
         self.model_name = mc.model_name
         self.is_pcgrad = self.model_name == "pcg"
+        # on-device validation metrics (train/device_metrics.py): fuse the
+        # regime metrics into the jitted eval program so only scalars cross
+        # the host boundary instead of the [N_test, H] prediction matrix
+        self.device_eval = bool(self.cfg.training_config.extra.get("device_eval"))
 
         if self.model_name in ("escm", "escm_dr") and (
             self.is_pcgrad
@@ -855,6 +859,7 @@ class Trainer:
         examples_seen = 0
         train_time = 0.0
         val_dev = None
+        val_metric_dev = None
 
         # Fast path: device-resident dataset + chained per-step dispatches
         # (see the comment above _stage_dataset for the measurements that
@@ -1057,7 +1062,17 @@ class Trainer:
                     val_dev = self._prepare_eval_tensors(
                         val[0], val[1], val[3], batch_size
                     )
-                if val_dev is not None:
+                    if val_dev is not None and self._use_device_eval():
+                        val_metric_dev = self._prepare_metric_tensors(
+                            val[2], val_dev
+                        )
+                if val_metric_dev is not None:
+                    out = self._make_eval_program()(
+                        self.variables, val_dev[0], val_dev[1], val_dev[2],
+                        *val_metric_dev,
+                    )
+                    val_result = {k: float(np.asarray(v)) for k, v in out.items()}
+                elif val_dev is not None:
                     val_result = self._evaluate_prepared(
                         self.variables, val_dev, val[2]
                     )
@@ -1199,6 +1214,68 @@ class Trainer:
             return jnp.asarray(a.reshape(steps, batch_size, *a.shape[1:]))
 
         return (prep(ids), prep(dense), prep(dmask), n)
+
+    def _use_device_eval(self) -> bool:
+        """device_eval is honored only when every requested metric has a
+        device implementation (train/device_metrics.py::SUPPORTED); any
+        other metric (e.g. logloss) falls the whole epoch back to host."""
+        from . import device_metrics
+
+        return (
+            self.device_eval
+            and self.mesh is None
+            and device_metrics.supports(self.metric_fns.keys())
+        )
+
+    def _prepare_metric_tensors(self, y, val_dev):
+        """Stage padded labels + validity weights on device once for the
+        fused predict+metrics program."""
+        ids3, _, _, n = val_dev
+        total = ids3.shape[0] * ids3.shape[1]
+        y2 = np.asarray(y, np.float32)
+        pad = total - len(y2)
+        if pad:
+            y2 = np.concatenate([y2, np.repeat(y2[-1:], pad, axis=0)])
+        w = (np.arange(total) < n).astype(np.float32)
+        return jnp.asarray(y2), jnp.asarray(w)
+
+    def _make_eval_program(self):
+        return self._cached("eval_program", self._build_eval_program)
+
+    def _build_eval_program(self):
+        """Fused whole-validation inference + regime metrics as ONE jitted
+        program returning scalars (train/device_metrics.py).  The host path
+        (_evaluate_prepared) downloads the full [N, H] prediction matrix
+        through the relay every epoch; here only len(metric_fns) scalars
+        come back.  The sort/cumsum inside the AUC ranks ride the same
+        program as the model scan, avoiding this backend's ~27 ms
+        standalone dispatch penalty for those primitives (docs/perf_notes.md)."""
+        from . import device_metrics
+
+        names = tuple(self.metric_fns.keys())
+        mc = self.cfg.model_config
+
+        def eval_program(variables, ids3, dense3, dmask3, y2, w):
+            def body(_, xs):
+                b_ids, b_dense, b_dm = xs
+                model_mask = (
+                    b_dm if (mc.masked_loss and b_dm is not None) else None
+                )
+                probs = self.model.apply(
+                    variables, b_ids, b_dense, model_mask, train=False
+                )
+                return None, probs
+
+            _, probs = jax.lax.scan(body, None, (ids3, dense3, dmask3))
+            p = probs.reshape(-1, probs.shape[-1])
+            if self.model_name in ("escm", "escm_dr"):
+                # keep [pCTR, pCTCVR] (reference basemodel.py:438-441)
+                p = p[:, jnp.asarray([0, 2])]
+            return device_metrics.regime_metrics(
+                names, y2, p, w, self.task_name, self.num_domains
+            )
+
+        return jax.jit(eval_program)
 
     def _evaluate_prepared(self, variables, val_dev, y) -> Dict[str, float]:
         ids3, dense3, dmask3, n = val_dev
