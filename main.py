@@ -148,14 +148,21 @@ def main():
                 )
                 with open(file_name, "wb") as f:
                     pickle.dump(value, f)
+        elif args.device_eval:
+            pred_ans = None  # fused on-device final metrics, no download
         else:
             pred_ans = trainer.predict(ds.test_input, tc.test_batch_size)
 
-        y_test = trainer._prepare_y(ds.y_test)
-        results = masked_test_metrics(
-            y_test, pred_ans, mc.task_name, dc.num_domains, ds.test_mask,
-            trainer.model.task_types,
-        )
+        if pred_ans is None:
+            results = trainer.masked_test_metrics_device(
+                ds.test_input, ds.y_test, ds.test_mask, tc.test_batch_size
+            )
+        else:
+            y_test = trainer._prepare_y(ds.y_test)
+            results = masked_test_metrics(
+                y_test, pred_ans, mc.task_name, dc.num_domains, ds.test_mask,
+                trainer.model.task_types,
+            )
         model_type = f"{dc.data_name}_{mc.task_name}_{mc.model_name}_{seed}"
         row = {"type": model_type, **results}
         if trainer.throughput_examples_per_s:

@@ -37,6 +37,7 @@ from typing import Dict, Iterable, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 #: metric names `regime_metrics` can produce on device
 SUPPORTED = ("auc", "acc", "accuracy", "mse")
@@ -113,6 +114,51 @@ def regime_effective(y: jnp.ndarray, preds: jnp.ndarray, task_name: str,
         )
         return y_eff, p_eff
     return y, preds
+
+
+def weighted_logloss(labels: jnp.ndarray, probs: jnp.ndarray,
+                     weights: jnp.ndarray) -> jnp.ndarray:
+    """Weighted binary cross-entropy matching sklearn's 1-D ``log_loss``.
+
+    sklearn clips at float64 eps (effectively nothing for sigmoid
+    outputs); float32 sigmoids CAN saturate to exactly 0/1, so we clip at
+    float32 eps — the values only differ when the model is maximally
+    certain-wrong (host ~34.5 vs ~15.9 per such sample).
+    """
+    labels = labels.astype(jnp.float32).reshape(-1)
+    weights = weights.astype(jnp.float32).reshape(-1)
+    eps = jnp.float32(np.finfo(np.float32).eps)
+    p = jnp.clip(probs.astype(jnp.float32).reshape(-1), eps, 1.0 - eps)
+    ce = -(labels * jnp.log(p) + (1.0 - labels) * jnp.log1p(-p))
+    return jnp.sum(weights * ce) / jnp.sum(weights)
+
+
+def masked_test_metrics_device(y: jnp.ndarray, preds: jnp.ndarray,
+                               weights: jnp.ndarray, test_mask, task_name: str,
+                               num_domains: int) -> Dict[str, jnp.ndarray]:
+    """Device analogue of train/metrics.py::masked_test_metrics (reference
+    main.py:134-172): per-head LogLoss/AUC masked to the head's domain rows
+    (msl: head i = domain i; mtmsl: head i = domain i % D; mtl: unmasked),
+    plus the summed-prediction total AUC for msl/mtmsl.  Call inside jit;
+    ``preds`` must already be escm-column-selected."""
+    n_heads = preds.shape[1]
+    out: Dict[str, jnp.ndarray] = {}
+    for i in range(n_heads):
+        if task_name == "msl":
+            w = weights * test_mask[:, i]
+        elif task_name == "mtmsl":
+            w = weights * test_mask[:, i % num_domains]
+        else:
+            w = weights
+        out[f"log_loss_{i}"] = weighted_logloss(y[:, i], preds[:, i], w)
+        out[f"auc_{i}"] = weighted_auc(y[:, i], preds[:, i], w)
+    if task_name in ("msl", "mtmsl"):
+        # total AUC over UNMASKED summed predictions (reference
+        # main.py:143-163) == the regime_eval aggregation
+        out["total_auc"] = regime_metrics(
+            ("auc",), y, preds, weights, task_name, num_domains
+        )["auc"]
+    return out
 
 
 def regime_metrics(metric_names: Iterable[str], y: jnp.ndarray,

@@ -12,6 +12,9 @@ one compiled step advances every (seed, lr) combination concurrently.
 Numerics per combo are exactly those of a solo ``Trainer`` run with that
 seed and lr (pinned by tests/test_sweep.py): ``inject_hyperparams`` only
 moves the lr from a compile-time constant to an optimizer-state leaf.
+Any other numeric optimizer hyperparameter (adam ``b1``/``b2``/``eps``,
+rmsprop ``decay``, ...) can vary along the grid the same way via explicit
+``grid`` rows.
 """
 
 from __future__ import annotations
@@ -43,13 +46,21 @@ def injectable_optimizer(name: str, lr: float) -> optax.GradientTransformation:
     raise NotImplementedError(f"optimizer {name!r}")
 
 
-class GridSweepTrainer(SeedSuiteTrainer):
-    """Train every (seed, lr) combination concurrently.
+#: grid-row key -> optax hyperparam-state key
+_HP_ALIASES = {"lr": "learning_rate"}
 
-    ``grid`` rows are ``{"seed": int, "lr": float}``; alternatively pass
-    ``seeds`` and ``lrs`` for the full cross product.  Everything else
-    (fit/predict/histories/early stopping) behaves like SeedSuiteTrainer
-    with one stacked axis of size ``len(grid)``.
+
+class GridSweepTrainer(SeedSuiteTrainer):
+    """Train every (seed, hyperparam) combination concurrently.
+
+    ``grid`` rows are ``{"seed": int, "lr": float, ...}`` — any numeric
+    hyperparameter of the optimizer can vary per combo (``lr``/
+    ``learning_rate``, and e.g. adam's ``b1``/``b2``/``eps`` or rmsprop's
+    ``decay``), since ``inject_hyperparams`` turns each of them into an
+    optimizer-state leaf.  Alternatively pass ``seeds`` and ``lrs`` for
+    the (seed x lr) cross product.  Everything else (fit/predict/
+    histories/early stopping) behaves like SeedSuiteTrainer with one
+    stacked axis of size ``len(grid)``.
     """
 
     def __init__(
@@ -64,9 +75,20 @@ class GridSweepTrainer(SeedSuiteTrainer):
                 raise ValueError("pass lrs=[...] or an explicit grid")
             grid = [{"seed": s, "lr": float(lr)} for s in seeds for lr in lrs]
         self.grid = list(grid)
+        hp_keys = sorted({k for g in self.grid for k in g} - {"seed"})
+        if not hp_keys:
+            raise ValueError("grid rows vary no optimizer hyperparameter")
+        missing = [(g, k) for g in self.grid for k in hp_keys if k not in g]
+        if missing:
+            raise ValueError(f"grid rows missing hyperparams: {missing[:3]}")
+        self._hp_keys = hp_keys
         super().__init__(model, seeds=[g["seed"] for g in self.grid])
-        self.labels = [f"s{g['seed']}/lr{g['lr']:g}" for g in self.grid]
-        self.row_labels = [f"{g['seed']}_lr{g['lr']:g}" for g in self.grid]
+        tag = lambda g: "/".join(f"{k}{g[k]:g}" for k in hp_keys)  # noqa: E731
+        self.labels = [f"s{g['seed']}/{tag(g)}" for g in self.grid]
+        self.row_labels = [
+            f"{g['seed']}_" + "_".join(f"{k}{g[k]:g}" for k in hp_keys)
+            for g in self.grid
+        ]
 
     # ------------------------------------------------------------------
     def compile(self, optimizer=None, loss=None, metrics=None):
@@ -82,9 +104,17 @@ class GridSweepTrainer(SeedSuiteTrainer):
 
     def _init_opt_state(self, params):
         st = jax.vmap(self.tr.tx.init)(params)
-        lrs = jnp.asarray([g["lr"] for g in self.grid], jnp.float32)
         hp = dict(st.hyperparams)
-        hp["learning_rate"] = lrs
+        for key in self._hp_keys:
+            opt_key = _HP_ALIASES.get(key, key)
+            if opt_key not in hp:
+                raise KeyError(
+                    f"{key!r} is not a hyperparameter of this optimizer "
+                    f"(available: {sorted(hp)})"
+                )
+            hp[opt_key] = jnp.asarray(
+                [g[key] for g in self.grid], jnp.float32
+            )
         return st._replace(hyperparams=hp)
 
     # ------------------------------------------------------------------

@@ -1315,6 +1315,73 @@ class Trainer:
             ids, dense, self._prepare_y(y), self._domain_mask_from(x), batch_size
         )
 
+    def masked_test_metrics_device(self, x, y, test_mask,
+                                   batch_size: int = 256) -> Dict[str, float]:
+        """Final per-head masked LogLoss/AUC (+ total AUC) computed ON
+        DEVICE in one fused predict+metrics program — the device-side
+        analogue of predict() + train/metrics.py::masked_test_metrics
+        (reference main.py:134-172).  Only scalars cross the relay; rows
+        keep the reference's 4-decimal rounding."""
+        from . import device_metrics
+
+        ids, dense = self.pack_inputs(x)
+        y2 = self._prepare_y(y)
+        dmask = self._domain_mask_from(x)
+        val_dev = self._prepare_eval_tensors(ids, dense, dmask, batch_size)
+        y_dev, w_dev = self._prepare_metric_tensors(y2, val_dev)
+        total = y_dev.shape[0]
+        if test_mask is not None:
+            tm = np.asarray(test_mask, np.float32)
+            pad = total - len(tm)
+            if pad:
+                tm = np.concatenate([tm, np.zeros((pad,) + tm.shape[1:], np.float32)])
+            tm_dev = jnp.asarray(tm)
+        else:
+            tm_dev = None
+        variables = self.best_variables or self.variables
+        program = self._cached(
+            "masked_test_program", self._build_masked_test_program
+        )
+        out = program(variables, val_dev[0], val_dev[1], val_dev[2], y_dev,
+                      w_dev, tm_dev)
+        vals = {k: round(float(np.asarray(v)), 4) for k, v in out.items()}
+        # jit pytrees alphabetize dict keys; restore the reference row
+        # order (log_loss_i, auc_i per head, then total_auc; main.py:167)
+        n_heads = sum(1 for k in vals if k.startswith("auc_"))
+        ordered = {}
+        for i in range(n_heads):
+            ordered[f"log_loss_{i}"] = vals[f"log_loss_{i}"]
+            ordered[f"auc_{i}"] = vals[f"auc_{i}"]
+        if "total_auc" in vals:
+            ordered["total_auc"] = vals["total_auc"]
+        return ordered
+
+    def _build_masked_test_program(self):
+        from . import device_metrics
+
+        mc = self.cfg.model_config
+
+        def program(variables, ids3, dense3, dmask3, y2, w, tm):
+            def body(_, xs):
+                b_ids, b_dense, b_dm = xs
+                model_mask = (
+                    b_dm if (mc.masked_loss and b_dm is not None) else None
+                )
+                probs = self.model.apply(
+                    variables, b_ids, b_dense, model_mask, train=False
+                )
+                return None, probs
+
+            _, probs = jax.lax.scan(body, None, (ids3, dense3, dmask3))
+            p = probs.reshape(-1, probs.shape[-1])
+            if self.model_name in ("escm", "escm_dr"):
+                p = p[:, jnp.asarray([0, 2])]
+            return device_metrics.masked_test_metrics_device(
+                y2, p, w, tm, self.task_name, self.num_domains
+            )
+
+        return jax.jit(program)
+
     def update_save(self, value: bool = True):
         """Enable layer-output capture on predict (reference basemodel.py:458)."""
         self._save_layer_output = value

@@ -175,6 +175,39 @@ def test_seed_suite_device_eval_matches_host():
             assert hd["val_acc"] == pytest.approx(hh["val_acc"], abs=5e-4)
 
 
+@pytest.mark.parametrize(
+    "model_name,task_name", [("mmoe", "mtl"), ("star", "msl"), ("escm", "mtl")]
+)
+def test_masked_test_metrics_device_matches_host(model_name, task_name):
+    from mmlrec_tpu.data import get_test_mask
+    from mmlrec_tpu.train.metrics import masked_test_metrics
+
+    cfg = make_config(
+        task_name=task_name, model_name=model_name, emb=4, n_sparse=4,
+        n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,), batch_size=64,
+    )
+    layout, x, y, _ = make_data(cfg, n=448, seed=0)
+    _, xt, yt, _ = make_data(cfg, n=200, seed=9)
+    dc = cfg.data_config
+    test_mask = None
+    if task_name in ("msl", "mtmsl"):
+        test_mask = get_test_mask(xt[dc.mask_column], dc.mask_values,
+                                  dc.num_domains)
+    model = get_model(model_name, layout, cfg)
+    tr = Trainer(model, seed=0).compile(metrics=["auc"])
+    tr.fit(x, y, batch_size=64, epochs=2, verbose=0)
+
+    preds = tr.predict(xt, batch_size=64)
+    host = masked_test_metrics(
+        tr._prepare_y(yt), preds, task_name, dc.num_domains, test_mask,
+        tr.model.task_types,
+    )
+    dev = tr.masked_test_metrics_device(xt, yt, test_mask, batch_size=64)
+    assert set(dev) == set(host)
+    for k in host:
+        assert dev[k] == pytest.approx(host[k], abs=1e-3), k
+
+
 def test_device_eval_falls_back_on_unsupported_metric():
     cfg = make_config(
         task_name="mtl", model_name="mmoe", emb=4, n_sparse=4, n_dense=2,

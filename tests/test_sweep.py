@@ -90,3 +90,37 @@ def test_grid_requires_lrs():
     cfg, model, *_ = _setup()
     with pytest.raises(ValueError):
         GridSweepTrainer(model, seeds=[0])
+
+
+def test_multi_hyperparam_grid_matches_solo():
+    import optax
+
+    cfg, model, x, y, xv, yv = _setup()
+    grid = [
+        {"seed": 0, "lr": 3e-3, "b1": 0.9},
+        {"seed": 0, "lr": 3e-3, "b1": 0.5},
+    ]
+    sweep = GridSweepTrainer(model, grid=grid).compile(metrics=["auc"])
+    sweep.fit(x, y, batch_size=64, epochs=3, validation_data=(xv, yv), verbose=0)
+    preds = sweep.predict(xv, batch_size=64)
+
+    for i, g in enumerate(grid):
+        solo = Trainer(model, seed=g["seed"]).compile(
+            optimizer=optax.adam(g["lr"], b1=g["b1"], b2=0.999, eps=1e-8),
+            metrics=["auc"],
+        )
+        solo.fit(x, y, batch_size=64, epochs=3, validation_data=(xv, yv), verbose=0)
+        np.testing.assert_allclose(
+            preds[i], solo.predict(xv, batch_size=64), atol=1e-6,
+            err_msg=f"combo {g} diverges from solo run",
+        )
+    assert np.abs(preds[0] - preds[1]).max() > 1e-5  # b1 actually varied
+
+
+def test_unknown_hyperparam_raises():
+    cfg, model, x, y, *_ = _setup()
+    sweep = GridSweepTrainer(
+        model, grid=[{"seed": 0, "lr": 1e-3, "nonsense": 1.0}]
+    ).compile()
+    with pytest.raises(KeyError):
+        sweep.fit(x, y, batch_size=64, epochs=1, verbose=0)
