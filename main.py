@@ -148,7 +148,7 @@ def main():
                 )
                 with open(file_name, "wb") as f:
                     pickle.dump(value, f)
-        elif args.device_eval:
+        elif args.device_eval and mesh is None:
             pred_ans = None  # fused on-device final metrics, no download
         else:
             pred_ans = trainer.predict(ds.test_input, tc.test_batch_size)
@@ -216,14 +216,22 @@ def run_vmapped_suite(args, seeds, lrs=None):
         validation_data=(ds.test_input, ds.y_test),
     )
     wall = time.time() - t0
-    preds = suite.predict(ds.test_input, tc.test_batch_size)
-
-    y_test = suite.tr._prepare_y(ds.y_test)
-    for si, label in enumerate(suite.row_labels):
-        results = masked_test_metrics(
-            y_test, preds[si], mc.task_name, dc.num_domains, ds.test_mask,
-            suite.tr.model.task_types,
+    if args.device_eval:
+        per_combo = suite.masked_test_metrics_device(
+            ds.test_input, ds.y_test, ds.test_mask, tc.test_batch_size
         )
+    else:
+        preds = suite.predict(ds.test_input, tc.test_batch_size)
+        y_test = suite.tr._prepare_y(ds.y_test)
+        per_combo = [
+            masked_test_metrics(
+                y_test, preds[si], mc.task_name, dc.num_domains, ds.test_mask,
+                suite.tr.model.task_types,
+            )
+            for si in range(len(suite.row_labels))
+        ]
+    for si, label in enumerate(suite.row_labels):
+        results = per_combo[si]
         row = {
             "type": f"{dc.data_name}_{mc.task_name}_{mc.model_name}_{label}",
             **results,

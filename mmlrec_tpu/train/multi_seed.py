@@ -294,6 +294,34 @@ class SeedSuiteTrainer:
         return self
 
     # ------------------------------------------------------------------
+    def masked_test_metrics_device(self, x, y, test_mask,
+                                   batch_size: int = 256):
+        """Per-seed final masked LogLoss/AUC rows computed fully on device
+        (Trainer.masked_test_metrics_device vmapped over the stacked axis):
+        [S] scalars per metric instead of the [S, N_test, H] prediction
+        download."""
+        tr = self.tr
+        ids, dense = tr.pack_inputs(x)
+        y2 = tr._prepare_y(y)
+        dmask = tr._domain_mask_from(x)
+        val_dev = tr._prepare_eval_tensors(ids, dense, dmask, batch_size)
+        y_dev, w_dev = tr._prepare_metric_tensors(y2, val_dev)
+        tm_dev = tr._prepare_mask_tensor(test_mask, y_dev.shape[0])
+        prog = jax.jit(
+            jax.vmap(
+                tr._build_masked_test_program(),
+                in_axes=(0, None, None, None, None, None, None),
+            )
+        )
+        out = prog(self.best_variables, val_dev[0], val_dev[1], val_dev[2],
+                   y_dev, w_dev, tm_dev)
+        out_np = {k: np.asarray(v) for k, v in out.items()}
+        return [
+            tr._order_masked_row({k: float(v[si]) for k, v in out_np.items()})
+            for si in range(len(self.seeds))
+        ]
+
+    # ------------------------------------------------------------------
     def predict(self, x, batch_size: int = 256) -> np.ndarray:
         """[S, N, num_heads] predictions from each seed's best params."""
         tr = self.tr

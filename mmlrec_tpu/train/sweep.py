@@ -12,9 +12,10 @@ one compiled step advances every (seed, lr) combination concurrently.
 Numerics per combo are exactly those of a solo ``Trainer`` run with that
 seed and lr (pinned by tests/test_sweep.py): ``inject_hyperparams`` only
 moves the lr from a compile-time constant to an optimizer-state leaf.
-Any other numeric optimizer hyperparameter (adam ``b1``/``b2``/``eps``,
-rmsprop ``decay``, ...) can vary along the grid the same way via explicit
-``grid`` rows.
+Any other update-time numeric optimizer hyperparameter (adam ``b1``/
+``b2``/``eps``, rmsprop ``decay``, ...) can vary along the grid the same
+way via explicit ``grid`` rows; init-time ones (accumulator seeds) are
+rejected, see ``_INIT_TIME_HPS``.
 """
 
 from __future__ import annotations
@@ -49,15 +50,21 @@ def injectable_optimizer(name: str, lr: float) -> optax.GradientTransformation:
 #: grid-row key -> optax hyperparam-state key
 _HP_ALIASES = {"lr": "learning_rate"}
 
+#: hyperparams consumed by tx.init (accumulator seeds): replacing them in
+#: the state AFTER init would be a silent no-op, so varying them per-combo
+#: is rejected — run those combos as separate suites instead
+_INIT_TIME_HPS = {"initial_accumulator_value", "initial_scale"}
+
 
 class GridSweepTrainer(SeedSuiteTrainer):
     """Train every (seed, hyperparam) combination concurrently.
 
-    ``grid`` rows are ``{"seed": int, "lr": float, ...}`` — any numeric
-    hyperparameter of the optimizer can vary per combo (``lr``/
-    ``learning_rate``, and e.g. adam's ``b1``/``b2``/``eps`` or rmsprop's
-    ``decay``), since ``inject_hyperparams`` turns each of them into an
-    optimizer-state leaf.  Alternatively pass ``seeds`` and ``lrs`` for
+    ``grid`` rows are ``{"seed": int, "lr": float, ...}`` — any
+    update-time numeric hyperparameter of the optimizer can vary per
+    combo (``lr``/``learning_rate``, and e.g. adam's ``b1``/``b2``/
+    ``eps`` or rmsprop's ``decay``), since ``inject_hyperparams`` turns
+    each of them into an optimizer-state leaf.  Init-time hyperparams
+    (accumulator seeds) are rejected.  Alternatively pass ``seeds`` and ``lrs`` for
     the (seed x lr) cross product.  Everything else (fit/predict/
     histories/early stopping) behaves like SeedSuiteTrainer with one
     stacked axis of size ``len(grid)``.
@@ -78,6 +85,13 @@ class GridSweepTrainer(SeedSuiteTrainer):
         hp_keys = sorted({k for g in self.grid for k in g} - {"seed"})
         if not hp_keys:
             raise ValueError("grid rows vary no optimizer hyperparameter")
+        bad = set(hp_keys) & _INIT_TIME_HPS
+        if bad:
+            raise ValueError(
+                f"{sorted(bad)} are consumed at optimizer-state INIT time "
+                "and cannot vary along the vmapped grid (the stacked state "
+                "is initialized once); sweep them as separate suites"
+            )
         missing = [(g, k) for g in self.grid for k in hp_keys if k not in g]
         if missing:
             raise ValueError(f"grid rows missing hyperparams: {missing[:3]}")

@@ -167,6 +167,9 @@ class Trainer:
         loss = loss if loss is not None else oc.loss
         self.loss_names = [loss] if isinstance(loss, str) else list(loss)
         self.metric_fns = get_metric_fns(metrics if metrics is not None else oc.metrics)
+        # compiled programs close over the optimizer/loss/metrics bound
+        # here — drop any cached ones from a previous compile()
+        self._step_fns.clear()
         return self
 
     def _use_flat_optimizer(self) -> bool:
@@ -709,28 +712,34 @@ class Trainer:
     def _make_predict_fn(self):
         return self._cached("predict_fn", self._build_predict_fn)
 
+    def _scanned_probs(self, variables, ids3, dense3, dmask3):
+        """Traced whole-dataset inference over [steps, bs, ...] batches —
+        the shared body of predict/eval/final-metrics programs (vs the
+        reference's per-batch loop with a device->host sync each batch,
+        basemodel.py:431-444).  Returns raw [steps, bs, H] probabilities."""
+        mc = self.cfg.model_config
+
+        def body(_, xs):
+            b_ids, b_dense, b_dm = xs
+            model_mask = b_dm if (mc.masked_loss and b_dm is not None) else None
+            probs = self.model.apply(
+                variables, b_ids, b_dense, model_mask, train=False
+            )
+            return None, probs
+
+        _, probs = jax.lax.scan(body, None, (ids3, dense3, dmask3))
+        return probs
+
+    def _flat_selected(self, probs):
+        """[steps, bs, H] -> [steps*bs, H'], escm keeping [pCTR, pCTCVR]
+        (reference basemodel.py:438-441)."""
+        p = probs.reshape(-1, probs.shape[-1])
+        if self.model_name in ("escm", "escm_dr"):
+            p = p[:, jnp.asarray([0, 2])]
+        return p
+
     def _build_predict_fn(self):
-        """Scanned whole-dataset inference: [steps, bs, ...] batches on
-        device, one dispatch (vs the reference's per-batch loop with a
-        device->host sync each batch, basemodel.py:431-444)."""
-
-        def predict_fn(variables, ids3, dense3, dmask3):
-            mc = self.cfg.model_config
-
-            def body(_, xs):
-                b_ids, b_dense, b_dm = xs
-                model_mask = (
-                    b_dm if (mc.masked_loss and b_dm is not None) else None
-                )
-                probs = self.model.apply(
-                    variables, b_ids, b_dense, model_mask, train=False
-                )
-                return None, probs
-
-            _, probs = jax.lax.scan(body, None, (ids3, dense3, dmask3))
-            return probs
-
-        return jax.jit(predict_fn)
+        return jax.jit(self._scanned_probs)
 
     # ------------------------------------------------------------------
     # fit
@@ -1066,6 +1075,14 @@ class Trainer:
                         val_metric_dev = self._prepare_metric_tensors(
                             val[2], val_dev
                         )
+                        if validation_data is not None:
+                            # masked_test_metrics_device reuses these when
+                            # called on the same arrays (main.py validates
+                            # on the test set)
+                            self._staged_eval_cache = (
+                                id(validation_data[0]), id(validation_data[1]),
+                                batch_size, val_dev, *val_metric_dev,
+                            )
                 if val_metric_dev is not None:
                     out = self._make_eval_program()(
                         self.variables, val_dev[0], val_dev[1], val_dev[2],
@@ -1253,24 +1270,11 @@ class Trainer:
         from . import device_metrics
 
         names = tuple(self.metric_fns.keys())
-        mc = self.cfg.model_config
 
         def eval_program(variables, ids3, dense3, dmask3, y2, w):
-            def body(_, xs):
-                b_ids, b_dense, b_dm = xs
-                model_mask = (
-                    b_dm if (mc.masked_loss and b_dm is not None) else None
-                )
-                probs = self.model.apply(
-                    variables, b_ids, b_dense, model_mask, train=False
-                )
-                return None, probs
-
-            _, probs = jax.lax.scan(body, None, (ids3, dense3, dmask3))
-            p = probs.reshape(-1, probs.shape[-1])
-            if self.model_name in ("escm", "escm_dr"):
-                # keep [pCTR, pCTCVR] (reference basemodel.py:438-441)
-                p = p[:, jnp.asarray([0, 2])]
+            p = self._flat_selected(
+                self._scanned_probs(variables, ids3, dense3, dmask3)
+            )
             return device_metrics.regime_metrics(
                 names, y2, p, w, self.task_name, self.num_domains
             )
@@ -1322,31 +1326,52 @@ class Trainer:
         analogue of predict() + train/metrics.py::masked_test_metrics
         (reference main.py:134-172).  Only scalars cross the relay; rows
         keep the reference's 4-decimal rounding."""
-        from . import device_metrics
-
-        ids, dense = self.pack_inputs(x)
-        y2 = self._prepare_y(y)
-        dmask = self._domain_mask_from(x)
-        val_dev = self._prepare_eval_tensors(ids, dense, dmask, batch_size)
-        y_dev, w_dev = self._prepare_metric_tensors(y2, val_dev)
-        total = y_dev.shape[0]
-        if test_mask is not None:
-            tm = np.asarray(test_mask, np.float32)
-            pad = total - len(tm)
-            if pad:
-                tm = np.concatenate([tm, np.zeros((pad,) + tm.shape[1:], np.float32)])
-            tm_dev = jnp.asarray(tm)
+        cached = getattr(self, "_staged_eval_cache", None)
+        if cached is not None and cached[:3] == (id(x), id(y), batch_size):
+            # fit() already staged these exact tensors (main.py validates
+            # on the test set); skip the re-pack + re-upload
+            val_dev, y_dev, w_dev = cached[3], cached[4], cached[5]
         else:
-            tm_dev = None
+            ids, dense = self.pack_inputs(x)
+            y2 = self._prepare_y(y)
+            dmask = self._domain_mask_from(x)
+            val_dev = self._prepare_eval_tensors(ids, dense, dmask, batch_size)
+            y_dev, w_dev = self._prepare_metric_tensors(y2, val_dev)
+        tm_dev = self._prepare_mask_tensor(test_mask, y_dev.shape[0])
         variables = self.best_variables or self.variables
         program = self._cached(
             "masked_test_program", self._build_masked_test_program
         )
         out = program(variables, val_dev[0], val_dev[1], val_dev[2], y_dev,
                       w_dev, tm_dev)
-        vals = {k: round(float(np.asarray(v)), 4) for k, v in out.items()}
-        # jit pytrees alphabetize dict keys; restore the reference row
-        # order (log_loss_i, auc_i per head, then total_auc; main.py:167)
+        return self._order_masked_row(
+            {k: float(np.asarray(v)) for k, v in out.items()}
+        )
+
+    def _prepare_mask_tensor(self, test_mask, total: int):
+        """Pad the [N, D] domain test mask to the staged length (pad rows
+        get all-zero masks, excluding them from every head)."""
+        if test_mask is None:
+            return None
+        tm = np.asarray(test_mask, np.float32)
+        pad = total - len(tm)
+        if pad:
+            tm = np.concatenate([tm, np.zeros((pad,) + tm.shape[1:], np.float32)])
+        return jnp.asarray(tm)
+
+    @staticmethod
+    def _order_masked_row(vals: Dict[str, float]) -> Dict[str, float]:
+        """Round to the reference's 4 decimals and restore its row order
+        (jit pytrees alphabetize dict keys; reference order is log_loss_i,
+        auc_i per head, then total_auc — main.py:167).  Raises on
+        non-finite values like the host sklearn path would."""
+        vals = {k: round(v, 4) for k, v in vals.items()}
+        bad = [k for k, v in vals.items() if not np.isfinite(v)]
+        if bad:
+            raise ValueError(
+                f"non-finite device test metrics {bad} — a head's masked "
+                "rows are single-class (sklearn would raise here too)"
+            )
         n_heads = sum(1 for k in vals if k.startswith("auc_"))
         ordered = {}
         for i in range(n_heads):
@@ -1359,23 +1384,10 @@ class Trainer:
     def _build_masked_test_program(self):
         from . import device_metrics
 
-        mc = self.cfg.model_config
-
         def program(variables, ids3, dense3, dmask3, y2, w, tm):
-            def body(_, xs):
-                b_ids, b_dense, b_dm = xs
-                model_mask = (
-                    b_dm if (mc.masked_loss and b_dm is not None) else None
-                )
-                probs = self.model.apply(
-                    variables, b_ids, b_dense, model_mask, train=False
-                )
-                return None, probs
-
-            _, probs = jax.lax.scan(body, None, (ids3, dense3, dmask3))
-            p = probs.reshape(-1, probs.shape[-1])
-            if self.model_name in ("escm", "escm_dr"):
-                p = p[:, jnp.asarray([0, 2])]
+            p = self._flat_selected(
+                self._scanned_probs(variables, ids3, dense3, dmask3)
+            )
             return device_metrics.masked_test_metrics_device(
                 y2, p, w, tm, self.task_name, self.num_domains
             )

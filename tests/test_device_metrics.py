@@ -208,6 +208,68 @@ def test_masked_test_metrics_device_matches_host(model_name, task_name):
         assert dev[k] == pytest.approx(host[k], abs=1e-3), k
 
 
+def test_suite_masked_test_metrics_device_matches_host():
+    from mmlrec_tpu.data import get_test_mask
+    from mmlrec_tpu.train.metrics import masked_test_metrics
+    from mmlrec_tpu.train.multi_seed import SeedSuiteTrainer
+
+    cfg = make_config(
+        task_name="msl", model_name="mmoe", emb=4, n_sparse=4, n_dense=2,
+        hidden=(16, 8), tower=(8,), gate=(8,), batch_size=64,
+    )
+    layout, x, y, _ = make_data(cfg, n=448, seed=0)
+    _, xt, yt, _ = make_data(cfg, n=200, seed=9)
+    dc = cfg.data_config
+    test_mask = get_test_mask(xt[dc.mask_column], dc.mask_values, dc.num_domains)
+    model = get_model("mmoe", layout, cfg)
+    suite = SeedSuiteTrainer(model, seeds=[0, 2]).compile(metrics=["auc"])
+    suite.fit(x, y, batch_size=64, epochs=2, validation_data=(xt, yt), verbose=0)
+
+    dev_rows = suite.masked_test_metrics_device(xt, yt, test_mask, batch_size=64)
+    preds = suite.predict(xt, batch_size=64)
+    y_test = suite.tr._prepare_y(yt)
+    for si in range(2):
+        host = masked_test_metrics(
+            y_test, preds[si], "msl", dc.num_domains, test_mask,
+            suite.tr.model.task_types,
+        )
+        assert set(dev_rows[si]) == set(host)
+        for k in host:
+            assert dev_rows[si][k] == pytest.approx(host[k], abs=1e-3), (si, k)
+
+
+def test_recompile_clears_cached_programs():
+    cfg = make_config(
+        task_name="mtl", model_name="mmoe", emb=4, n_sparse=4, n_dense=2,
+        hidden=(16, 8), tower=(8,), gate=(8,), batch_size=64,
+    )
+    cfg.training_config.extra["device_eval"] = True
+    layout, x, y, _ = make_data(cfg, n=256, seed=0)
+    model = get_model("mmoe", layout, cfg)
+    tr = Trainer(model, seed=0).compile(metrics=["auc"])
+    tr.fit(x, y, batch_size=64, epochs=1, validation_data=(x, y), verbose=0)
+    assert "val_acc" not in tr.history[-1]
+    tr.compile(metrics=["auc", "acc"])  # must drop the cached eval program
+    tr.fit(x, y, batch_size=64, epochs=1, validation_data=(x, y), verbose=0)
+    assert "val_acc" in tr.history[-1]
+
+
+def test_init_time_hyperparam_rejected():
+    from mmlrec_tpu.train.sweep import GridSweepTrainer
+
+    cfg = make_config(
+        task_name="mtl", model_name="mmoe", emb=4, n_sparse=4, n_dense=2,
+        hidden=(16, 8), tower=(8,), gate=(8,), batch_size=64,
+    )
+    layout, *_ = make_data(cfg, n=64, seed=0)
+    model = get_model("mmoe", layout, cfg)
+    with pytest.raises(ValueError, match="INIT"):
+        GridSweepTrainer(
+            model,
+            grid=[{"seed": 0, "lr": 1e-3, "initial_accumulator_value": 0.5}],
+        )
+
+
 def test_device_eval_falls_back_on_unsupported_metric():
     cfg = make_config(
         task_name="mtl", model_name="mmoe", emb=4, n_sparse=4, n_dense=2,
