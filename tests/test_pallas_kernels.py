@@ -77,3 +77,49 @@ def test_non_divisible_batch_tiles():
         [jnp.take(table, ids, axis=0).reshape(B, F * D), dense], axis=1
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=1e-6)
+
+
+def test_pallas_rows_add_matches_xla_scatter():
+    from mmlrec_tpu.ops.pallas_scatter import pallas_rows_add
+
+    V, D, K = 64, 128, 16
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(
+        rng.choice(V, size=K, replace=False).astype(np.int32)  # unique
+    )
+    table = jnp.asarray(rng.rand(V, D).astype(np.float32))
+    mu = jnp.asarray(rng.rand(V, D).astype(np.float32))
+    d_t = jnp.asarray(rng.randn(K, D).astype(np.float32))
+    d_m = jnp.asarray(rng.randn(K, D).astype(np.float32))
+    got_t, got_m = pallas_rows_add(
+        (table, mu), ids, (d_t, d_m), chunk=8, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_t), np.asarray(table.at[ids].add(d_t)), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_m), np.asarray(mu.at[ids].add(d_m)), rtol=1e-6
+    )
+
+
+def test_pallas_rows_add_bf16_storage():
+    from mmlrec_tpu.ops.pallas_scatter import pallas_rows_add
+
+    V, D, K = 32, 128, 8
+    rng = np.random.RandomState(1)
+    ids = jnp.asarray(rng.choice(V, size=K, replace=False).astype(np.int32))
+    nu = jnp.asarray(rng.rand(V, D).astype(np.float32)).astype(jnp.bfloat16)
+    d_n = jnp.asarray(rng.randn(K, D).astype(np.float32))
+    (got,) = pallas_rows_add((nu,), ids, (d_n,), chunk=8, interpret=True)
+    expect = (
+        jnp.take(nu, ids, axis=0).astype(jnp.float32) + d_n
+    ).astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(got[np.asarray(ids)]).astype(np.float32),
+        np.asarray(expect).astype(np.float32), rtol=1e-2,
+    )
+    untouched = np.setdiff1d(np.arange(V), np.asarray(ids))
+    np.testing.assert_array_equal(
+        np.asarray(got[untouched]).astype(np.float32),
+        np.asarray(nu[untouched]).astype(np.float32),
+    )
