@@ -27,11 +27,13 @@ def chain_time(fn, args, iters=8):
     float(np.asarray(leaf.ravel()[0]))
     best = float("inf")
     for _ in range(iters):
+        del out  # keep at most one output set live (HBM headroom)
         t0 = time.perf_counter()
         out = fn(*args)
         leaf = jax.tree_util.tree_leaves(out)[0]
         float(np.asarray(leaf.ravel()[0]))
         best = min(best, time.perf_counter() - t0)
+    del out
     return best
 
 
@@ -65,13 +67,16 @@ def main():
         t, m, n = pallas_rows_add((table, mu, nu), ids, (d1, d2, d3), chunk=256)
         return t, m, n, jnp.sum(rows)
 
-    # correctness first (on 1k rows readback)
-    a = xla3(table, mu, nu, ids, d1, d2, d3)
-    b = fused(table, mu, nu, ids, d1, d2, d3)
-    sl = np.asarray(perm[:1000])
-    np.testing.assert_allclose(
-        np.asarray(a[0][sl]), np.asarray(b[0][sl]), rtol=1e-6
+    # correctness on 1k rows, against a HOST-computed expectation so only
+    # ONE variant's [V, 128] outputs are ever live (holding both OOMs HBM)
+    host_expect = (
+        np.asarray(table[jnp.asarray(perm[:1000])]) + np.asarray(d1[:1000])
     )
+    b = fused(table, mu, nu, ids, d1, d2, d3)
+    np.testing.assert_allclose(
+        np.asarray(b[0][jnp.asarray(perm[:1000])]), host_expect, rtol=1e-6
+    )
+    del b
     print("correctness ok")
 
     tx = chain_time(xla3, (table, mu, nu, ids, d1, d2, d3))

@@ -37,16 +37,21 @@ def _rmw_kernel(chunk, n_arrays, ids_ref, *refs):
     sems = refs[4 * n_arrays]
     i = pl.program_id(0)
 
+    # ONE DMA semaphore per array, shared by the chunk's row copies: TPU
+    # semaphore memory (sflag) holds only ~512 words, so per-(array, row)
+    # semaphores overflow it at useful chunk sizes.  Completion counting is
+    # aggregate — each copy increments sems[a] by its size and each wait
+    # drains one copy's worth, so waiting j times = waiting all j copies.
     def read(a, j):
         idx = ids_ref[i * chunk + j]
         return pltpu.make_async_copy(
-            out_refs[a].at[idx], scratch[a].at[j], sems.at[a, j]
+            out_refs[a].at[idx], scratch[a].at[j], sems.at[a]
         )
 
     def write(a, j):
         idx = ids_ref[i * chunk + j]
         return pltpu.make_async_copy(
-            scratch[a].at[j], out_refs[a].at[idx], sems.at[a, j]
+            scratch[a].at[j], out_refs[a].at[idx], sems.at[a]
         )
 
     for a in range(n_arrays):
@@ -99,7 +104,7 @@ def pallas_rows_add(arrays, ids, deltas, *, chunk: int = 256,
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n)],
         scratch_shapes=(
             [pltpu.VMEM((chunk, D), a.dtype) for a in arrays]
-            + [pltpu.SemaphoreType.DMA((n, chunk))]
+            + [pltpu.SemaphoreType.DMA((n,))]
         ),
     )
     out = pl.pallas_call(

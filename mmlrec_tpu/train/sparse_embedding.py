@@ -124,6 +124,65 @@ def batch_dedup_metadata(flat_ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return inv, rep
 
 
+def batch_phys_metadata(
+    flat_ids: np.ndarray,
+    pack_factor: int,
+    n_phys_rows: int,
+    chunk: int = 256,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side unique-PHYSICAL-row metadata for the fused table update.
+
+    The big-array cost of the two-phase step is the scatter-adds at
+    ``flat_ids // pack_factor`` (duplicates allowed).  This precomputes, per
+    batch, a duplicate-free *sorted* physical row list so the device update
+    can (a) pass ``unique_indices=True, indices_are_sorted=True`` to XLA's
+    scatter or (b) drive the Pallas rows-RMW kernel, whose contract requires
+    unique rows (ops/pallas_scatter.py).
+
+    flat_ids: [steps, K] logical fused-table row ids.
+    Returns (pids [steps, Kp] int32, pinv [steps, K] int32) with
+    Kp = ceil(K / chunk) * chunk:
+
+    * pids[b]: batch b's unique physical rows, sorted ascending, padded to
+      Kp with DISTINCT physical rows the batch does not touch (so the whole
+      list stays strictly unique — pad rows receive zero deltas and are
+      rewritten unchanged);
+    * pinv[b, j]: the slot of flat_ids[b, j]'s physical row within pids[b].
+
+    Requires n_phys_rows > Kp (always true at the large vocabularies where
+    the unique-update path is worth enabling).
+    """
+    steps, K = flat_ids.shape
+    Kp = -(-K // chunk) * chunk
+    if n_phys_rows <= Kp:
+        raise ValueError(
+            f"unique-update metadata needs n_phys_rows > {Kp}, got {n_phys_rows}"
+        )
+    phys = (flat_ids.astype(np.int64) // pack_factor)
+    pids = np.empty((steps, Kp), np.int32)
+    pinv = np.empty((steps, K), np.int32)
+    for b in range(steps):
+        u, inverse = np.unique(phys[b], return_inverse=True)
+        npad = Kp - len(u)
+        if npad:
+            # distinct untouched rows: the first npad non-members of u in
+            # [0, Kp] (arange(Kp + 1) has Kp + 1 candidates, u removes at
+            # most Kp of them, and n_phys_rows > Kp keeps them in range)
+            pads = np.setdiff1d(
+                np.arange(Kp + 1, dtype=np.int64), u, assume_unique=True
+            )[:npad]
+            merged = np.concatenate([u, pads])
+            order = np.argsort(merged, kind="stable")
+            inv_order = np.empty(Kp, np.int64)
+            inv_order[order] = np.arange(Kp)
+            pids[b] = merged[order]
+            pinv[b] = inv_order[:len(u)][inverse]
+        else:
+            pids[b] = u
+            pinv[b] = inverse
+    return pids, pinv
+
+
 def gather_rows(table: jnp.ndarray, flat_ids: jnp.ndarray, dim: int, pack_factor: int):
     """[K] logical ids -> [K, dim] rows from a (possibly lane-packed) table."""
     if pack_factor == 1:
@@ -188,4 +247,84 @@ def two_phase_sparse_adam(
         state.nu, flat_ids, (new_nu.astype(mdt) - nu_rows) * r.astype(mdt),
         pack_factor,
     )
+    return table, SparseAdamState(mu=mu, nu=nu, count=count)
+
+
+def two_phase_sparse_adam_unique(
+    table: jnp.ndarray,
+    g_rows: jnp.ndarray,  # [K, D] cotangent w.r.t. the gathered rows
+    flat_ids: jnp.ndarray,  # [K] logical row ids (duplicates OK)
+    inv: jnp.ndarray,  # [K] first-occurrence positions (host-computed)
+    rep: jnp.ndarray,  # [K] 1.0 at first occurrences
+    pids: jnp.ndarray,  # [Kp] unique sorted PHYSICAL rows (host-computed)
+    pinv: jnp.ndarray,  # [K] slot of each logical id's physical row in pids
+    state: SparseAdamState,
+    lr: float,
+    pack_factor: int = 1,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    use_pallas: bool = False,
+    interpret: bool = False,
+    chunk: int = 256,
+):
+    """two_phase_sparse_adam with duplicate-free big-array updates.
+
+    Same SparseAdam math, but the per-logical-position deltas are first
+    accumulated into a small [Kp, row] buffer at each id's unique-physical-
+    row slot (host metadata from batch_phys_metadata), so the three
+    whole-table updates touch each physical row exactly once.  That allows
+    either XLA scatter-adds with ``unique_indices + indices_are_sorted`` or
+    the fused Pallas rows-RMW kernel (ops/pallas_scatter.py) — one pass of
+    pipelined row DMAs updating table+mu+nu together.
+
+    Exactness: colliding logical ids within a physical row occupy disjoint
+    lanes (same lane would mean the same logical id, which rep masks), so
+    the pre-accumulation reorders no floating-point sums.
+    """
+    dim = g_rows.shape[-1]
+    K = g_rows.shape[0]
+    count = state.count + 1
+    t = count.astype(jnp.float32)
+    mdt = state.mu.dtype
+    g_sum = jnp.zeros_like(g_rows).at[inv].add(g_rows)
+    mu_rows = gather_rows(state.mu, flat_ids, dim, pack_factor)
+    nu_rows = gather_rows(state.nu, flat_ids, dim, pack_factor)
+    mu_f = mu_rows.astype(jnp.float32)
+    nu_f = nu_rows.astype(jnp.float32)
+    new_mu = b1 * mu_f + (1.0 - b1) * g_sum
+    new_nu = b2 * nu_f + (1.0 - b2) * g_sum * g_sum
+    mu_hat = new_mu / (1.0 - b1**t)
+    nu_hat = new_nu / (1.0 - b2**t)
+    r = rep[:, None]
+    d_table = -lr * mu_hat / (jnp.sqrt(nu_hat) + eps) * r
+    d_mu = (new_mu.astype(mdt).astype(jnp.float32) - mu_f) * r
+    d_nu = (new_nu.astype(mdt).astype(jnp.float32) - nu_f) * r
+    P = pack_factor
+    Kp = pids.shape[0]
+    row_width = table.shape[1]
+    sub = (
+        jax.nn.one_hot(flat_ids % P, P, dtype=jnp.float32) if P > 1 else None
+    )
+
+    def acc(delta):
+        if P > 1:
+            wide = jnp.einsum("kp,kd->kpd", sub, delta).reshape(K, P * dim)
+        else:
+            wide = delta
+        return jnp.zeros((Kp, row_width), jnp.float32).at[pinv].add(wide)
+
+    acc_t, acc_mu, acc_nu = acc(d_table), acc(d_mu), acc(d_nu)
+    if use_pallas:
+        from ..ops.pallas_scatter import pallas_rows_add
+
+        table, mu, nu = pallas_rows_add(
+            (table, state.mu, state.nu), pids, (acc_t, acc_mu, acc_nu),
+            chunk=min(chunk, Kp), interpret=interpret,
+        )
+    else:
+        kw = dict(unique_indices=True, indices_are_sorted=True)
+        table = table.at[pids].add(acc_t, **kw)
+        mu = state.mu.at[pids].add(acc_mu.astype(mdt), **kw)
+        nu = state.nu.at[pids].add(acc_nu.astype(mdt), **kw)
     return table, SparseAdamState(mu=mu, nu=nu, count=count)

@@ -133,6 +133,37 @@ class Trainer:
 
             self._emb_dim = sparse_dims.pop()
             self._emb_pack_factor = pack_factor_for(int(sum(vocabs)), self._emb_dim)
+        # duplicate-free big-array updates (train/sparse_embedding.py
+        # two_phase_sparse_adam_unique): "scatter" = rep-masked XLA
+        # scatter-adds (default), "unique" = XLA scatter with unique+sorted
+        # index guarantees, "pallas" = fused rows-RMW kernel
+        # (ops/pallas_scatter.py) updating table+mu+nu in one pass of
+        # pipelined row DMAs.
+        self.table_update = str(mc.extra.get("table_update", "scatter"))
+        if self.table_update not in ("scatter", "unique", "pallas"):
+            raise ValueError(
+                f"table_update must be scatter|unique|pallas, got "
+                f"{self.table_update!r}"
+            )
+        if self.table_update != "scatter":
+            if not self.two_phase_embedding:
+                raise ValueError("table_update requires two_phase_embedding")
+            if self.mesh is not None:
+                raise ValueError(
+                    "table_update unique/pallas is single-device; the mesh "
+                    "paths keep their own update (GSPMD / explicit)"
+                )
+            # static physical row count (mirrors FusedEmbedding.setup)
+            total = int(
+                sum(s.feature.vocabulary_size for s in self.layout.sparse_slots)
+            )
+            rows = -(-max(total, 1) // 128) * 128
+            P = self._emb_pack_factor
+            if P > 1:
+                rows = -(-rows // (P * 128)) * (P * 128)
+            self._emb_phys_rows = rows // P
+            # interpret mode runs the Pallas kernel on CPU (tests)
+            self._pallas_interpret = jax.devices()[0].platform == "cpu"
         if self.two_phase_embedding and (
             self.is_pcgrad
             or mc.extra.get("use_gradnorm")
@@ -357,7 +388,8 @@ class Trainer:
         is already partitioned (rows and the rep slice are shard-local).
         """
         mc = self.cfg.model_config
-        ids, dense, y, dmask, weight, inv, rep = batch
+        ids, dense, y, dmask, weight = batch[:5]
+        rep = batch[6]
         model_mask = dmask if (mc.masked_loss and dmask is not None) else None
         params = self._with_table(rest, table)
         variables = {
@@ -399,7 +431,7 @@ class Trainer:
             state["rng"],
         )
         rng, step_rng = jax.random.split(rng)
-        ids, dense, y, dmask, weight, inv, rep = batch
+        ids, dense, y, dmask, weight, inv, rep = batch[:7]
         B, F = ids.shape
         rest, table = self._without_table(params)
         flat_ids = (ids + self._fused_offsets[None, :]).reshape(-1)
@@ -411,16 +443,35 @@ class Trainer:
                 self._loss_terms_injected, argnums=(0, 2), has_aux=True
             )(rest, table, rows, batch_stats, batch, step_rng)
         )
-        new_table, new_table_opt = two_phase_sparse_adam(
-            table,
-            g_rows.reshape(B * F, self._emb_dim),
-            flat_ids,
-            inv,
-            rep,
-            state["table_opt"],
-            lr=self.cfg.optim_config.lr,
-            pack_factor=self._emb_pack_factor,
-        )
+        if self.table_update != "scatter":
+            from .sparse_embedding import two_phase_sparse_adam_unique
+
+            pids, pinv = batch[7], batch[8]
+            new_table, new_table_opt = two_phase_sparse_adam_unique(
+                table,
+                g_rows.reshape(B * F, self._emb_dim),
+                flat_ids,
+                inv,
+                rep,
+                pids,
+                pinv,
+                state["table_opt"],
+                lr=self.cfg.optim_config.lr,
+                pack_factor=self._emb_pack_factor,
+                use_pallas=self.table_update == "pallas",
+                interpret=self._pallas_interpret,
+            )
+        else:
+            new_table, new_table_opt = two_phase_sparse_adam(
+                table,
+                g_rows.reshape(B * F, self._emb_dim),
+                flat_ids,
+                inv,
+                rep,
+                state["table_opt"],
+                lr=self.cfg.optim_config.lr,
+                pack_factor=self._emb_pack_factor,
+            )
         updates, opt_state = self.tx.update(g_rest, opt_state, rest)
         rest = optax.apply_updates(rest, updates)
         new_state = {
@@ -627,15 +678,26 @@ class Trainer:
     # therefore lives in the train state as a device counter and the epoch's
     # shuffled indices/weights are transferred once per epoch.
 
+    def _phys_metadata(self, flat: np.ndarray) -> tuple:
+        """(pids, pinv) unique-physical-row stacks for flat [steps, K]
+        logical ids — empty under the default scatter update."""
+        if self.table_update == "scatter":
+            return ()
+        from .sparse_embedding import batch_phys_metadata
+
+        return batch_phys_metadata(
+            flat, self._emb_pack_factor, self._emb_phys_rows
+        )
+
     def _slice_dedup(self, dedup2d, s):
-        """Row s of the per-epoch (inv2d, rep2d) stacks (two-phase mode)."""
+        """Row s of the per-epoch (inv, rep[, pids, pinv]) stacks
+        (two-phase mode; the last two only under unique/pallas updates)."""
         if dedup2d is None:
             return ()
-        inv2d, rep2d = dedup2d
-        K = inv2d.shape[1]
-        inv = jax.lax.dynamic_slice(inv2d, (s, 0), (1, K))[0]
-        rep = jax.lax.dynamic_slice(rep2d, (s, 0), (1, K))[0]
-        return (inv, rep)
+        return tuple(
+            jax.lax.dynamic_slice(a, (s, 0), (1, a.shape[1]))[0]
+            for a in dedup2d
+        )
 
     def _make_gather_step(self):
         def gather_step(state, staged, idx2d, w2d, dedup2d=None):
@@ -909,6 +971,7 @@ class Trainer:
                         steps_per_epoch, batch_size * ids.shape[1]
                     )
                     block_dedup = batch_dedup_metadata(flat)
+                    block_dedup += self._phys_metadata(flat)
             else:
                 staged = self._stage_dataset(ids, dense, y, dmask)
                 step_dev = self._make_gather_step()
@@ -943,10 +1006,8 @@ class Trainer:
                     w2d_dev = jnp.asarray(block_w[batch_order])
                     dedup_dev = None
                     if block_dedup is not None:
-                        inv_all, rep_all = block_dedup
-                        dedup_dev = (
-                            jnp.asarray(inv_all[batch_order]),
-                            jnp.asarray(rep_all[batch_order]),
+                        dedup_dev = tuple(
+                            jnp.asarray(a[batch_order]) for a in block_dedup
                         )
                     for s in range(steps_this_epoch):
                         state, total_loss, data_loss, probs = step_dev(
@@ -986,8 +1047,8 @@ class Trainer:
                         flat = (ids_e.astype(np.int64) + offs).reshape(
                             steps_this_epoch, -1
                         )
-                        inv_e, rep_e = batch_dedup_metadata(flat)
-                        dedup_dev = (jnp.asarray(inv_e), jnp.asarray(rep_e))
+                        meta = batch_dedup_metadata(flat) + self._phys_metadata(flat)
+                        dedup_dev = tuple(jnp.asarray(a) for a in meta)
                     for s in range(steps_this_epoch):
                         state, total_loss, data_loss, probs = step_dev(
                             state, staged, idx2d_dev, w2d_dev, dedup_dev
@@ -1033,8 +1094,8 @@ class Trainer:
 
                         offs = np.asarray(self._fused_offsets)[None, :]
                         flat = (ids[idx].astype(np.int64) + offs).reshape(1, -1)
-                        inv_b, rep_b = batch_dedup_metadata(flat)
-                        batch = batch + (jnp.asarray(inv_b[0]), jnp.asarray(rep_b[0]))
+                        meta = batch_dedup_metadata(flat) + self._phys_metadata(flat)
+                        batch = batch + tuple(jnp.asarray(a[0]) for a in meta)
                     state, total_loss, data_loss, probs = train_step(state, batch)
                     total_steps += 1
                     examples_seen += int(np.sum(weight))

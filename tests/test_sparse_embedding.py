@@ -223,3 +223,133 @@ def test_two_phase_bf16_moments():
         )
     # moments rounding perturbs rows only slightly
     np.testing.assert_allclose(tables["bf16"], tables["f32"], atol=5e-3)
+
+
+def test_batch_phys_metadata():
+    from mmlrec_tpu.train.sparse_embedding import batch_phys_metadata
+
+    # pack_factor=2: logical ids 6,7 share physical row 3
+    flat = np.asarray([[6, 7, 6, 2, 9, 2]])
+    pids, pinv = batch_phys_metadata(flat, pack_factor=2, n_phys_rows=64,
+                                     chunk=4)
+    assert pids.shape == (1, 8) and pinv.shape == (1, 6)
+    # strictly unique + sorted
+    assert len(np.unique(pids[0])) == 8
+    np.testing.assert_array_equal(pids[0], np.sort(pids[0]))
+    # touched physical rows {3, 1, 4} present; pinv maps each logical id
+    # to its physical row's slot
+    phys = flat[0] // 2
+    np.testing.assert_array_equal(pids[0][pinv[0]], phys)
+    # pad rows untouched by the batch
+    pad_slots = np.setdiff1d(np.arange(8), np.unique(pinv[0]))
+    assert not np.intersect1d(pids[0][pad_slots], phys).size
+
+
+def test_batch_phys_metadata_needs_headroom():
+    import pytest as _pytest
+
+    from mmlrec_tpu.train.sparse_embedding import batch_phys_metadata
+
+    with _pytest.raises(ValueError):
+        batch_phys_metadata(np.zeros((1, 8), np.int64), 1, n_phys_rows=8,
+                            chunk=8)
+
+
+def _unique_case(mdt=jnp.float32, use_pallas=False):
+    from mmlrec_tpu.train.sparse_embedding import (
+        batch_dedup_metadata,
+        batch_phys_metadata,
+        two_phase_sparse_adam,
+        two_phase_sparse_adam_unique,
+    )
+
+    V, D, P, K = 32, 4, 2, 12
+    rng = np.random.default_rng(3)
+    packed = jnp.asarray(rng.normal(size=(V // P, P * D)), jnp.float32)
+    # duplicates AND a physical collision (ids 8, 9 share physical row 4)
+    flat_ids = np.asarray([8, 9, 8, 3, 21, 9, 14, 3, 30, 21, 2, 8], np.int64)
+    g_rows = jnp.asarray(rng.normal(size=(K, D)), jnp.float32)
+    inv, rep = batch_dedup_metadata(flat_ids[None, :])
+    pids, pinv = batch_phys_metadata(flat_ids[None, :], P, V // P, chunk=4)
+    state0 = init_sparse_adam(packed, dtype=mdt)
+    lr = 0.05
+    base_t, base_s = two_phase_sparse_adam(
+        packed, g_rows, jnp.asarray(flat_ids, jnp.int32), jnp.asarray(inv[0]),
+        jnp.asarray(rep[0]), state0, lr=lr, pack_factor=P,
+    )
+    uniq_t, uniq_s = two_phase_sparse_adam_unique(
+        packed, g_rows, jnp.asarray(flat_ids, jnp.int32), jnp.asarray(inv[0]),
+        jnp.asarray(rep[0]), jnp.asarray(pids[0]), jnp.asarray(pinv[0]),
+        state0, lr=lr, pack_factor=P, use_pallas=use_pallas, interpret=True,
+    )
+    return (base_t, base_s), (uniq_t, uniq_s)
+
+
+def test_two_phase_unique_matches_baseline_xla():
+    (bt, bs), (ut, us) = _unique_case()
+    np.testing.assert_allclose(np.asarray(ut), np.asarray(bt), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(us.mu), np.asarray(bs.mu), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(us.nu), np.asarray(bs.nu), rtol=1e-6)
+
+
+def test_two_phase_unique_matches_baseline_pallas():
+    (bt, bs), (ut, us) = _unique_case(use_pallas=True)
+    np.testing.assert_allclose(np.asarray(ut), np.asarray(bt), rtol=1e-6,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(us.mu), np.asarray(bs.mu),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(us.nu), np.asarray(bs.nu),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_two_phase_unique_bf16_moments():
+    for pallas in (False, True):
+        (bt, bs), (ut, us) = _unique_case(mdt=jnp.bfloat16, use_pallas=pallas)
+        np.testing.assert_allclose(np.asarray(ut), np.asarray(bt), atol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(us.mu).astype(np.float32),
+            np.asarray(bs.mu).astype(np.float32), atol=2e-2)
+
+
+def _train_table(table_update, shuffle=True, vocab=400, use_device_data=True):
+    kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+              n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,), epochs=2,
+              batch_size=128, lr=3e-3, two_phase_embedding=True)
+    if table_update != "scatter":
+        kw["table_update"] = table_update
+    cfg = make_config(**kw, vocab=vocab)
+    layout, x, y, _ = make_data(cfg, n=800, seed=0, vocab=vocab)
+    model = get_model("sharedbottom", layout, cfg)
+    tr = Trainer(model, seed=0).compile()
+    tr.fit(x, y, batch_size=128, epochs=2, shuffle=shuffle, verbose=0)
+    return np.asarray(tr.variables["params"]["embeddings"]["fused"]["table"])
+
+
+def test_trainer_table_update_unique_matches_scatter():
+    """Full fit with table_update=unique reproduces the default scatter
+    path (same seed, shuffle, data) — full-shuffle AND block modes."""
+    for shuffle in (True, "block"):
+        base = _train_table("scatter", shuffle=shuffle)
+        uniq = _train_table("unique", shuffle=shuffle)
+        np.testing.assert_allclose(uniq, base, rtol=1e-5, atol=1e-7)
+
+
+def test_trainer_table_update_pallas_matches_scatter():
+    base = _train_table("scatter")
+    pal = _train_table("pallas")
+    np.testing.assert_allclose(pal, base, rtol=1e-5, atol=1e-7)
+
+
+def test_trainer_table_update_validation():
+    import pytest as _pytest
+
+    kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+              n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,), epochs=1,
+              batch_size=128, lr=3e-3)
+    cfg = make_config(**kw, table_update="unique")  # without two_phase
+    layout, x, y, _ = make_data(cfg, n=200, seed=0)
+    with _pytest.raises(ValueError, match="two_phase"):
+        Trainer(get_model("sharedbottom", layout, cfg), seed=0)
+    cfg2 = make_config(**kw, two_phase_embedding=True, table_update="bogus")
+    with _pytest.raises(ValueError, match="scatter|unique|pallas"):
+        Trainer(get_model("sharedbottom", layout, cfg2), seed=0)
