@@ -1,0 +1,118 @@
+"""40M-row two-phase training step: table_update scatter vs unique vs pallas.
+
+Micro-probes (probe_scatter_flags.py, bench_pallas_rows_add.py) rank the
+update variants pallas < unique+sorted < default scatter at [2.5M x 128]
+K=65k (~95 / ~119 / ~134 ns/row-equivalent beyond the gather floor), but
+windows vary 2-3x — this measures the REAL flagship-shape train step at
+40M x 32 (bf16 moments) for each mode, back-to-back in one window.
+
+Usage: python benchmarks/bench_40m_table_update.py [mode ...]
+(default: scatter pallas unique)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run(mode: str, vocab_per_feature: int = 2_500_000, n_sparse: int = 16,
+        emb_dim: int = 32, batch_size: int = 4096):
+    import jax
+    import jax.numpy as jnp
+
+    from mmlrec_tpu.features import DenseFeat, FeatureLayout, SparseFeat
+    from mmlrec_tpu.models import get_model
+    from mmlrec_tpu.synthetic import make_config
+    from mmlrec_tpu.train import Trainer
+    from mmlrec_tpu.train.sparse_embedding import (
+        batch_dedup_metadata,
+        init_sparse_adam,
+    )
+
+    kw = dict(
+        task_name="mtl", model_name="mmoe", emb=emb_dim, n_sparse=n_sparse,
+        n_dense=4, hidden=(256, 128), tower=(64,), gate=(64,),
+        batch_size=batch_size, two_phase_embedding=True,
+        table_opt_dtype="bfloat16",
+    )
+    if mode != "scatter":
+        kw["table_update"] = mode
+    cfg = make_config(**kw)
+    cols = [SparseFeat(f"s{i}", vocab_per_feature, emb_dim)
+            for i in range(n_sparse)] + [DenseFeat(f"d{i}", 1) for i in range(4)]
+    layout = FeatureLayout(cols)
+    model = get_model("mmoe", layout, cfg)
+    trainer = Trainer(model, seed=0).compile(metrics=[])
+
+    rng = np.random.default_rng(0)
+    ids_np = rng.integers(0, vocab_per_feature, (batch_size, n_sparse)).astype(np.int32)
+    ids = jnp.asarray(ids_np)
+    dense = jnp.asarray(rng.random((batch_size, 4)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, (batch_size, 2)), jnp.float32)
+    trainer.variables = trainer._init_variables(
+        np.asarray(ids[:2]), np.asarray(dense[:2]))
+    params = trainer.variables["params"]
+    table = params["embeddings"]["fused"]["table"]
+    state = {
+        "params": params,
+        "batch_stats": trainer.variables.get("batch_stats", {}),
+        "opt_state": trainer.tx.init(trainer._without_table(params)[0]),
+        "rng": jax.random.PRNGKey(1),
+        # mirrors Trainer.fit: unique/pallas default to fused mu||nu moments
+        "table_opt": init_sparse_adam(
+            table, dtype="bfloat16", fused=mode != "scatter"
+        ),
+    }
+    offs = np.asarray(trainer._fused_offsets)[None, :]
+    flat = (ids_np.astype(np.int64) + offs).reshape(1, -1)
+    meta = batch_dedup_metadata(flat) + trainer._phys_metadata(flat)
+    batch = (ids, dense, y, None, jnp.ones((batch_size,), jnp.float32),
+             ) + tuple(jnp.asarray(a[0]) for a in meta)
+
+    step = trainer._make_train_step()
+
+    def chain_sync(s):
+        leaf = s["params"]["embeddings"]["fused"]["table"]
+        return float(np.asarray(leaf[(0,) * leaf.ndim]))
+
+    t0 = time.perf_counter()
+    state, *_ = step(state, batch)
+    chain_sync(state)
+    print(f"[{mode}] compiled+first step in {time.perf_counter() - t0:.0f}s",
+          flush=True)
+
+    iters = 10
+    best = float("inf")
+    for r in range(5):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, *_ = step(state, batch)
+        chain_sync(state)
+        dt = (time.perf_counter() - t0) / iters
+        best = min(best, dt)
+        print(f"[{mode}] round {r}: {dt*1e3:.1f} ms/step", flush=True)
+
+    print(json.dumps({
+        "metric": "40m_row_step_table_update",
+        "mode": mode,
+        "ms_per_step": round(best * 1e3, 1),
+        "examples_per_s": round(batch_size / best, 0),
+    }), flush=True)
+    # free the 7.6 GB of state before the next mode runs
+    del state, params, table, trainer
+    return best
+
+
+if __name__ == "__main__":
+    modes = sys.argv[1:] or ["scatter", "pallas", "unique"]
+    results = {m: run(m) for m in modes}
+    if len(results) > 1:
+        base = results.get("scatter") or max(results.values())
+        for m, t in results.items():
+            print(f"{m:8s} {t*1e3:7.1f} ms/step  ({base/t:.2f}x vs scatter)")

@@ -76,34 +76,35 @@ def pallas_rows_add(arrays, ids, deltas, *, chunk: int = 256,
     """``arrays[a][ids[k]] += deltas[a][k]`` for every array in one fused
     per-row-DMA pass.
 
-    arrays: tuple of [V, D] HBM-resident arrays (same V, D; dtypes may
-    differ — deltas are added in f32 and stored back in the array dtype).
+    arrays: tuple of [V, D_a] HBM-resident arrays (same V; widths and
+    dtypes may differ — deltas are added in f32 and stored back in the
+    array dtype).
     ids: [K] int32, UNIQUE (see module contract), K % chunk == 0.
-    deltas: tuple of [K, D] arrays.
+    deltas: tuple of [K, D_a] arrays.
     Returns the updated arrays (buffers donated via input_output_aliases).
     """
     n = len(arrays)
     assert len(deltas) == n
     K = ids.shape[0]
-    V, D = arrays[0].shape
+    V = arrays[0].shape[0]
     assert K % chunk == 0, (K, chunk)
-    for a in arrays:
-        assert a.shape == (V, D)
+    for a, d in zip(arrays, deltas):
+        assert a.shape[0] == V and d.shape == (K, a.shape[1])
     grid = (K // chunk,)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=(
             [
-                pl.BlockSpec((chunk, D), lambda i, ids: (i, 0),
+                pl.BlockSpec((chunk, a.shape[1]), lambda i, ids: (i, 0),
                              memory_space=pltpu.VMEM)
-                for _ in range(n)
+                for a in arrays
             ]
             + [pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n)]
         ),
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n)],
         scratch_shapes=(
-            [pltpu.VMEM((chunk, D), a.dtype) for a in arrays]
+            [pltpu.VMEM((chunk, a.shape[1]), a.dtype) for a in arrays]
             + [pltpu.SemaphoreType.DMA((n,))]
         ),
     )

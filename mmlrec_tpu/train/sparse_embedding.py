@@ -41,11 +41,30 @@ class SparseAdamState(NamedTuple):
     count: jnp.ndarray  # scalar int32
 
 
-def init_sparse_adam(table: jnp.ndarray, dtype=None) -> SparseAdamState:
+class SparseAdamFusedState(NamedTuple):
+    """Both Adam moments in ONE [V, 2W] array: mu in lanes [:W], nu in
+    lanes [W:].  The big-table update is DMA-issue-bound on this backend
+    (docs/perf_notes.md "Scatter cost isolation"), so halving the number of
+    moment rows touched (2 gathers + 2 scatters -> 1 + 1, or 4 row DMAs/id
+    -> 2 in the Pallas RMW kernel) is a direct win; the wider rows cost the
+    same bytes."""
+
+    monu: jnp.ndarray  # [V, 2 * W]
+    count: jnp.ndarray  # scalar int32
+
+
+def init_sparse_adam(table: jnp.ndarray, dtype=None, fused: bool = False):
     """dtype: moment storage dtype (default = table dtype).  bfloat16 halves
     the moment HBM (the dominant state at production vocab — e.g. 5.1 GB
-    saved at 40M x 32 rows); update math stays f32."""
+    saved at 40M x 32 rows); update math stays f32.  fused=True stores both
+    moments side-by-side in one array (SparseAdamFusedState) — supported by
+    the unique/pallas table_update paths."""
     dt = dtype or table.dtype
+    if fused:
+        return SparseAdamFusedState(
+            monu=jnp.zeros((table.shape[0], 2 * table.shape[1]), dt),
+            count=jnp.zeros((), jnp.int32),
+        )
     return SparseAdamState(
         mu=jnp.zeros(table.shape, dt),
         nu=jnp.zeros(table.shape, dt),
@@ -284,12 +303,29 @@ def two_phase_sparse_adam_unique(
     """
     dim = g_rows.shape[-1]
     K = g_rows.shape[0]
+    P = pack_factor
+    fused = isinstance(state, SparseAdamFusedState)
     count = state.count + 1
     t = count.astype(jnp.float32)
-    mdt = state.mu.dtype
+    mdt = (state.monu if fused else state.mu).dtype
     g_sum = jnp.zeros_like(g_rows).at[inv].add(g_rows)
-    mu_rows = gather_rows(state.mu, flat_ids, dim, pack_factor)
-    nu_rows = gather_rows(state.nu, flat_ids, dim, pack_factor)
+    if fused:
+        # ONE gather for both moments: [K, 2W] super-rows, mu lanes [:W]
+        W = state.monu.shape[1] // 2
+        sup = jnp.take(
+            state.monu, flat_ids // P if P > 1 else flat_ids, axis=0
+        )
+        if P > 1:
+            sub_m = jax.nn.one_hot(flat_ids % P, P, dtype=state.monu.dtype)
+            mu_rows = jnp.einsum(
+                "kp,kpd->kd", sub_m, sup[:, :W].reshape(K, P, dim))
+            nu_rows = jnp.einsum(
+                "kp,kpd->kd", sub_m, sup[:, W:].reshape(K, P, dim))
+        else:
+            mu_rows, nu_rows = sup[:, :W], sup[:, W:]
+    else:
+        mu_rows = gather_rows(state.mu, flat_ids, dim, pack_factor)
+        nu_rows = gather_rows(state.nu, flat_ids, dim, pack_factor)
     mu_f = mu_rows.astype(jnp.float32)
     nu_f = nu_rows.astype(jnp.float32)
     new_mu = b1 * mu_f + (1.0 - b1) * g_sum
@@ -300,21 +336,36 @@ def two_phase_sparse_adam_unique(
     d_table = -lr * mu_hat / (jnp.sqrt(nu_hat) + eps) * r
     d_mu = (new_mu.astype(mdt).astype(jnp.float32) - mu_f) * r
     d_nu = (new_nu.astype(mdt).astype(jnp.float32) - nu_f) * r
-    P = pack_factor
     Kp = pids.shape[0]
     row_width = table.shape[1]
     sub = (
         jax.nn.one_hot(flat_ids % P, P, dtype=jnp.float32) if P > 1 else None
     )
 
-    def acc(delta):
+    def acc(delta, width):
         if P > 1:
             wide = jnp.einsum("kp,kd->kpd", sub, delta).reshape(K, P * dim)
         else:
             wide = delta
-        return jnp.zeros((Kp, row_width), jnp.float32).at[pinv].add(wide)
+        return jnp.zeros((Kp, width), jnp.float32).at[pinv].add(wide)
 
-    acc_t, acc_mu, acc_nu = acc(d_table), acc(d_mu), acc(d_nu)
+    acc_t = acc(d_table, row_width)
+    if fused:
+        acc_monu = jnp.concatenate(
+            [acc(d_mu, W), acc(d_nu, W)], axis=1)  # [Kp, 2W]
+        if use_pallas:
+            from ..ops.pallas_scatter import pallas_rows_add
+
+            table, monu = pallas_rows_add(
+                (table, state.monu), pids, (acc_t, acc_monu),
+                chunk=min(chunk, Kp), interpret=interpret,
+            )
+        else:
+            kw = dict(unique_indices=True, indices_are_sorted=True)
+            table = table.at[pids].add(acc_t, **kw)
+            monu = state.monu.at[pids].add(acc_monu.astype(mdt), **kw)
+        return table, SparseAdamFusedState(monu=monu, count=count)
+    acc_mu, acc_nu = acc(d_mu, row_width), acc(d_nu, row_width)
     if use_pallas:
         from ..ops.pallas_scatter import pallas_rows_add
 

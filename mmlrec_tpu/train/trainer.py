@@ -901,6 +901,18 @@ class Trainer:
                     params["embeddings"]["fused"]["table"],
                     # e.g. "bfloat16" halves moment HBM at production vocab
                     dtype=self.cfg.model_config.extra.get("table_opt_dtype"),
+                    # unique/pallas updates store mu||nu side-by-side: half
+                    # the moment rows touched per step (the update is
+                    # DMA-issue-bound; docs/perf_notes.md).  Opt out with
+                    # extra["fused_moments"] = false.
+                    fused=(
+                        self.table_update != "scatter"
+                        and bool(
+                            self.cfg.model_config.extra.get(
+                                "fused_moments", True
+                            )
+                        )
+                    ),
                 )
         # two_phase_embedding composes with a mesh through GSPMD: the table
         # (and its mu/nu) stay vocab-row-sharded over 'model', the row
