@@ -7,7 +7,10 @@ windows vary 2-3x — this measures the REAL flagship-shape train step at
 40M x 32 (bf16 moments) for each mode, back-to-back in one window.
 
 Usage: python benchmarks/bench_40m_table_update.py [mode ...]
-(default: scatter pallas unique)
+(default: scatter pallas unique).  Env: MOMENT_DTYPE (default bfloat16 —
+NOTE the pallas mode requires float32 moments on real TPU: Mosaic rejects
+single-row DMA slices of bf16 HBM arrays, whose (8,128)(2,1) tiling packs
+rows), VOCAB_PER_FEATURE (default 2_500_000).
 """
 from __future__ import annotations
 
@@ -21,7 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run(mode: str, vocab_per_feature: int = 2_500_000, n_sparse: int = 16,
+MOMENT_DTYPE = os.environ.get("MOMENT_DTYPE", "bfloat16")
+VOCAB = int(os.environ.get("VOCAB_PER_FEATURE", 2_500_000))
+
+
+def run(mode: str, vocab_per_feature: int = VOCAB, n_sparse: int = 16,
         emb_dim: int = 32, batch_size: int = 4096):
     import jax
     import jax.numpy as jnp
@@ -39,7 +46,7 @@ def run(mode: str, vocab_per_feature: int = 2_500_000, n_sparse: int = 16,
         task_name="mtl", model_name="mmoe", emb=emb_dim, n_sparse=n_sparse,
         n_dense=4, hidden=(256, 128), tower=(64,), gate=(64,),
         batch_size=batch_size, two_phase_embedding=True,
-        table_opt_dtype="bfloat16",
+        table_opt_dtype=MOMENT_DTYPE,
     )
     if mode != "scatter":
         kw["table_update"] = mode
@@ -66,7 +73,7 @@ def run(mode: str, vocab_per_feature: int = 2_500_000, n_sparse: int = 16,
         "rng": jax.random.PRNGKey(1),
         # mirrors Trainer.fit: unique/pallas default to fused mu||nu moments
         "table_opt": init_sparse_adam(
-            table, dtype="bfloat16", fused=mode != "scatter"
+            table, dtype=MOMENT_DTYPE, fused=mode != "scatter"
         ),
     }
     offs = np.asarray(trainer._fused_offsets)[None, :]
@@ -101,6 +108,8 @@ def run(mode: str, vocab_per_feature: int = 2_500_000, n_sparse: int = 16,
     print(json.dumps({
         "metric": "40m_row_step_table_update",
         "mode": mode,
+        "moment_dtype": MOMENT_DTYPE,
+        "total_vocab": VOCAB * 16,
         "ms_per_step": round(best * 1e3, 1),
         "examples_per_s": round(batch_size / best, 0),
     }), flush=True)

@@ -164,6 +164,20 @@ class Trainer:
             self._emb_phys_rows = rows // P
             # interpret mode runs the Pallas kernel on CPU (tests)
             self._pallas_interpret = jax.devices()[0].platform == "cpu"
+            mdt = str(mc.extra.get("table_opt_dtype") or "float32")
+            if (
+                self.table_update == "pallas"
+                and not self._pallas_interpret
+                and mdt in ("bfloat16", "float16")
+            ):
+                # Mosaic rejects single-row DMA slices of sub-32-bit HBM
+                # arrays (bf16 tiling (8,128)(2,1) packs rows; a 1-row
+                # slice is unaligned).  f32 rows slice fine.
+                raise ValueError(
+                    "table_update='pallas' requires float32 moment storage "
+                    f"on TPU (got table_opt_dtype={mdt!r}); use "
+                    "table_update='unique' for reduced-precision moments"
+                )
         if self.two_phase_embedding and (
             self.is_pcgrad
             or mc.extra.get("use_gradnorm")
