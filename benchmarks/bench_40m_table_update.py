@@ -71,9 +71,10 @@ def run(mode: str, vocab_per_feature: int = VOCAB, n_sparse: int = 16,
         "batch_stats": trainer.variables.get("batch_stats", {}),
         "opt_state": trainer.tx.init(trainer._without_table(params)[0]),
         "rng": jax.random.PRNGKey(1),
-        # mirrors Trainer.fit: unique/pallas default to fused mu||nu moments
+        # mirrors Trainer.fit (fused_moments defaults OFF — measured slower)
         "table_opt": init_sparse_adam(
-            table, dtype=MOMENT_DTYPE, fused=mode != "scatter"
+            table, dtype=MOMENT_DTYPE,
+            fused=os.environ.get("FUSED_MOMENTS") == "1" and mode != "scatter",
         ),
     }
     offs = np.asarray(trainer._fused_offsets)[None, :]

@@ -407,8 +407,10 @@ def test_trainer_fused_moments_state_and_opt_out():
     )
 
     for extra, want in (
-        ({"table_update": "unique"}, SparseAdamFusedState),
-        ({"table_update": "unique", "fused_moments": False}, SparseAdamState),
+        # default OFF: fused [V, 2W] rows measured slower on TPU (256-lane
+        # rows miss the fast DMA path; docs/perf_notes.md)
+        ({"table_update": "unique"}, SparseAdamState),
+        ({"table_update": "unique", "fused_moments": True}, SparseAdamFusedState),
     ):
         cfg = make_config(**kw, **extra)
         layout, x, y, _ = make_data(cfg, n=400, seed=0, vocab=400)
