@@ -26,6 +26,10 @@ import numpy as np
 
 MOMENT_DTYPE = os.environ.get("MOMENT_DTYPE", "bfloat16")
 VOCAB = int(os.environ.get("VOCAB_PER_FEATURE", 2_500_000))
+# 0 = uniform ids; else Zipf exponent (e.g. 1.1) — real recommender traffic
+# is skewed, which shrinks the batch's unique-row set and so favors the
+# duplicate-free update paths.
+ZIPF = float(os.environ.get("ZIPF", "0"))
 
 
 def run(mode: str, vocab_per_feature: int = VOCAB, n_sparse: int = 16,
@@ -58,7 +62,11 @@ def run(mode: str, vocab_per_feature: int = VOCAB, n_sparse: int = 16,
     trainer = Trainer(model, seed=0).compile(metrics=[])
 
     rng = np.random.default_rng(0)
-    ids_np = rng.integers(0, vocab_per_feature, (batch_size, n_sparse)).astype(np.int32)
+    if ZIPF:
+        ids_np = (rng.zipf(ZIPF, (batch_size, n_sparse)) - 1) % vocab_per_feature
+        ids_np = ids_np.astype(np.int32)
+    else:
+        ids_np = rng.integers(0, vocab_per_feature, (batch_size, n_sparse)).astype(np.int32)
     ids = jnp.asarray(ids_np)
     dense = jnp.asarray(rng.random((batch_size, 4)), jnp.float32)
     y = jnp.asarray(rng.integers(0, 2, (batch_size, 2)), jnp.float32)
@@ -80,6 +88,9 @@ def run(mode: str, vocab_per_feature: int = VOCAB, n_sparse: int = 16,
     offs = np.asarray(trainer._fused_offsets)[None, :]
     flat = (ids_np.astype(np.int64) + offs).reshape(1, -1)
     meta = batch_dedup_metadata(flat) + trainer._phys_metadata(flat)
+    uniq = len(np.unique(flat[0]))
+    print(f"[{mode}] {uniq} unique of {flat.shape[1]} ids"
+          + (f" (zipf {ZIPF})" if ZIPF else ""), flush=True)
     batch = (ids, dense, y, None, jnp.ones((batch_size,), jnp.float32),
              ) + tuple(jnp.asarray(a[0]) for a in meta)
 
@@ -110,6 +121,7 @@ def run(mode: str, vocab_per_feature: int = VOCAB, n_sparse: int = 16,
         "metric": "40m_row_step_table_update",
         "mode": mode,
         "moment_dtype": MOMENT_DTYPE,
+        "zipf": ZIPF,
         "total_vocab": VOCAB * 16,
         "ms_per_step": round(best * 1e3, 1),
         "examples_per_s": round(batch_size / best, 0),
