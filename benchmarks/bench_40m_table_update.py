@@ -83,6 +83,9 @@ def run(mode: str, vocab_per_feature: int = VOCAB, n_sparse: int = 16,
         "table_opt": init_sparse_adam(
             table, dtype=MOMENT_DTYPE,
             fused=os.environ.get("FUSED_MOMENTS") == "1" and mode != "scatter",
+            # mirrors Trainer: pallas + bf16 -> (mu, nu) pairs packed into
+            # f32 lanes (Mosaic cannot row-slice bf16 HBM arrays)
+            packed=mode == "pallas" and MOMENT_DTYPE == "bfloat16",
         ),
     }
     offs = np.asarray(trainer._fused_offsets)[None, :]

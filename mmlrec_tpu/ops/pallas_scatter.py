@@ -28,13 +28,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _rmw_kernel(chunk, n_arrays, ids_ref, *refs):
-    # refs layout: [d_0..d_{n-1} (VMEM windows), t_in_0..t_in_{n-1} (HBM),
+def _rmw_kernel(chunk, n_arrays, modes, ids_ref, *refs):
+    # refs layout: [d_0..d_{n-1} (VMEM windows),
+    #               m_0..m_{s-1} (VMEM mask windows, "set" arrays only),
+    #               t_in_0..t_in_{n-1} (HBM),
     #               t_out_0..t_out_{n-1} (HBM, aliased), scratch_0.., sems]
+    n_set = sum(m == "set" for m in modes)
     d_refs = refs[:n_arrays]
-    out_refs = refs[2 * n_arrays: 3 * n_arrays]
-    scratch = refs[3 * n_arrays: 4 * n_arrays]
-    sems = refs[4 * n_arrays]
+    m_refs = refs[n_arrays: n_arrays + n_set]
+    base = n_arrays + n_set
+    out_refs = refs[base + n_arrays: base + 2 * n_arrays]
+    scratch = refs[base + 2 * n_arrays: base + 3 * n_arrays]
+    sems = refs[base + 3 * n_arrays]
     i = pl.program_id(0)
 
     # ONE DMA semaphore per array, shared by the chunk's row copies: TPU
@@ -57,12 +62,23 @@ def _rmw_kernel(chunk, n_arrays, ids_ref, *refs):
     for a in range(n_arrays):
         for j in range(chunk):
             read(a, j).start()
+    set_idx = 0
     for a in range(n_arrays):
         for j in range(chunk):
             read(a, j).wait()
-        scratch[a][:] = (
-            scratch[a][:].astype(jnp.float32) + d_refs[a][:].astype(jnp.float32)
-        ).astype(scratch[a].dtype)
+        if modes[a] == "set":
+            # masked byte-select merge: dtype-agnostic, so the array may be
+            # an opaque container (e.g. bf16 moment PAIRS bitcast into f32
+            # lanes) — no arithmetic touches the payload
+            scratch[a][:] = jnp.where(
+                m_refs[set_idx][:] != 0, d_refs[a][:], scratch[a][:]
+            )
+            set_idx += 1
+        else:
+            scratch[a][:] = (
+                scratch[a][:].astype(jnp.float32)
+                + d_refs[a][:].astype(jnp.float32)
+            ).astype(scratch[a].dtype)
     for a in range(n_arrays):
         for j in range(chunk):
             write(a, j).start()
@@ -71,34 +87,57 @@ def _rmw_kernel(chunk, n_arrays, ids_ref, *refs):
             write(a, j).wait()
 
 
-def pallas_rows_add(arrays, ids, deltas, *, chunk: int = 256,
-                    interpret: bool = False):
-    """``arrays[a][ids[k]] += deltas[a][k]`` for every array in one fused
-    per-row-DMA pass.
+def pallas_rows_update(arrays, ids, deltas, *, modes=None, masks=None,
+                       chunk: int = 256, interpret: bool = False):
+    """Fused per-row-DMA read-modify-write over several [V, D_a] arrays.
+
+    Per array, mode "add" (default) performs ``arrays[a][ids[k]] +=
+    deltas[a][k]`` (f32 math, stored back in the array dtype); mode "set"
+    performs a masked byte-select merge ``where(masks[a][k] != 0,
+    deltas[a][k], old_row)`` with NO arithmetic on the payload — the array
+    may be an opaque lane container (e.g. both bf16 Adam moments packed as
+    pairs into f32 lanes, train/sparse_embedding.py SparseAdamPackedState).
 
     arrays: tuple of [V, D_a] HBM-resident arrays (same V; widths and
-    dtypes may differ — deltas are added in f32 and stored back in the
-    array dtype).
+    dtypes may differ).
     ids: [K] int32, UNIQUE (see module contract), K % chunk == 0.
-    deltas: tuple of [K, D_a] arrays.
+    deltas: tuple of [K, D_a] arrays (add deltas, or set values).
+    masks: per-array [K, D_a] (array dtype; nonzero = lane owned) for every
+    "set" entry, None for "add" entries.
     Returns the updated arrays (buffers donated via input_output_aliases).
     """
     n = len(arrays)
-    assert len(deltas) == n
+    modes = tuple(modes) if modes is not None else ("add",) * n
+    assert len(deltas) == n and len(modes) == n
+    set_masks = []
+    for a, mode in enumerate(modes):
+        if mode == "set":
+            assert masks is not None and masks[a] is not None, a
+            assert masks[a].shape == deltas[a].shape
+            set_masks.append(masks[a])
+        else:
+            assert mode == "add", mode
     K = ids.shape[0]
     V = arrays[0].shape[0]
     assert K % chunk == 0, (K, chunk)
     for a, d in zip(arrays, deltas):
         assert a.shape[0] == V and d.shape == (K, a.shape[1])
     grid = (K // chunk,)
+    s = len(set_masks)
+    win = lambda i, ids: (i, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=(
             [
-                pl.BlockSpec((chunk, a.shape[1]), lambda i, ids: (i, 0),
+                pl.BlockSpec((chunk, a.shape[1]), win,
                              memory_space=pltpu.VMEM)
                 for a in arrays
+            ]
+            + [
+                pl.BlockSpec((chunk, m.shape[1]), win,
+                             memory_space=pltpu.VMEM)
+                for m in set_masks
             ]
             + [pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n)]
         ),
@@ -109,12 +148,22 @@ def pallas_rows_add(arrays, ids, deltas, *, chunk: int = 256,
         ),
     )
     out = pl.pallas_call(
-        functools.partial(_rmw_kernel, chunk, n),
+        functools.partial(_rmw_kernel, chunk, n, modes),
         out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrays],
         grid_spec=grid_spec,
-        # alias each [V, D] array input (operand n+a after the prefetched
-        # ids) to output a so the update is in-place
-        input_output_aliases={1 + n + a: a for a in range(n)},
+        # alias each [V, D] array input (operand 1 + n + s + a: after the
+        # prefetched ids, the deltas and the set masks) to output a so the
+        # update is in-place
+        input_output_aliases={1 + n + s + a: a for a in range(n)},
         interpret=interpret,
-    )(ids, *deltas, *arrays)
+    )(ids, *deltas, *set_masks, *arrays)
     return tuple(out)
+
+
+def pallas_rows_add(arrays, ids, deltas, *, chunk: int = 256,
+                    interpret: bool = False):
+    """``arrays[a][ids[k]] += deltas[a][k]`` for every array in one fused
+    per-row-DMA pass (all-"add" form of pallas_rows_update)."""
+    return pallas_rows_update(
+        arrays, ids, deltas, chunk=chunk, interpret=interpret
+    )

@@ -53,13 +53,55 @@ class SparseAdamFusedState(NamedTuple):
     count: jnp.ndarray  # scalar int32
 
 
-def init_sparse_adam(table: jnp.ndarray, dtype=None, fused: bool = False):
+class SparseAdamPackedState(NamedTuple):
+    """Both bfloat16 Adam moments packed as (mu, nu) PAIRS into the f32
+    lanes of ONE [V, W] container array: lane j holds bitcast((mu_j, nu_j)).
+
+    Same HBM as split bf16 moments, but (a) the container is a plain f32
+    [V, 128] array so Mosaic can row-slice it (per-row DMA windows are
+    ILLEGAL on bf16 HBM arrays and on multi-lane-tile [V, 256] arrays —
+    docs/perf_notes.md), and (b) one row carries both moments, so the
+    update touches 4 rows per id instead of 6 and the moment gather halves.
+    The kernel merges new pairs with a masked byte-select ("set" mode of
+    ops/pallas_scatter.py), so the f32 container payload is never
+    arithmetic-touched."""
+
+    monu: jnp.ndarray  # [V, W] float32 container of bf16 (mu, nu) pairs
+    count: jnp.ndarray  # scalar int32
+
+
+def unpack_monu(container: jnp.ndarray):
+    """[..., W] f32 container -> (mu, nu) bfloat16 [..., W]."""
+    pairs = jax.lax.bitcast_convert_type(container, jnp.bfloat16)
+    return pairs[..., 0], pairs[..., 1]
+
+
+def pack_monu(mu_bf16: jnp.ndarray, nu_bf16: jnp.ndarray) -> jnp.ndarray:
+    """(mu, nu) bfloat16 [..., W] -> [..., W] f32 container."""
+    return jax.lax.bitcast_convert_type(
+        jnp.stack(
+            [mu_bf16.astype(jnp.bfloat16), nu_bf16.astype(jnp.bfloat16)],
+            axis=-1,
+        ),
+        jnp.float32,
+    )
+
+
+def init_sparse_adam(table: jnp.ndarray, dtype=None, fused: bool = False,
+                     packed: bool = False):
     """dtype: moment storage dtype (default = table dtype).  bfloat16 halves
     the moment HBM (the dominant state at production vocab — e.g. 5.1 GB
     saved at 40M x 32 rows); update math stays f32.  fused=True stores both
-    moments side-by-side in one array (SparseAdamFusedState) — supported by
-    the unique/pallas table_update paths."""
+    moments side-by-side in one [V, 2W] array (SparseAdamFusedState; slow on
+    TPU — wide rows miss the fast DMA path).  packed=True stores both
+    moments as bf16 pairs inside f32 lanes (SparseAdamPackedState) — the
+    layout the pallas table_update uses for reduced-precision moments."""
     dt = dtype or table.dtype
+    if packed:
+        return SparseAdamPackedState(
+            monu=jnp.zeros(table.shape, jnp.float32),
+            count=jnp.zeros((), jnp.int32),
+        )
     if fused:
         return SparseAdamFusedState(
             monu=jnp.zeros((table.shape[0], 2 * table.shape[1]), dt),
@@ -305,11 +347,30 @@ def two_phase_sparse_adam_unique(
     K = g_rows.shape[0]
     P = pack_factor
     fused = isinstance(state, SparseAdamFusedState)
+    packed = isinstance(state, SparseAdamPackedState)
     count = state.count + 1
     t = count.astype(jnp.float32)
-    mdt = (state.monu if fused else state.mu).dtype
+    mdt = (
+        jnp.bfloat16
+        if packed
+        else (state.monu if fused else state.mu).dtype
+    )
     g_sum = jnp.zeros_like(g_rows).at[inv].add(g_rows)
-    if fused:
+    if packed:
+        # ONE gather of the f32 container rows carries both bf16 moments
+        sup_c = jnp.take(
+            state.monu, flat_ids // P if P > 1 else flat_ids, axis=0
+        )  # [K, W] f32 container
+        mu128, nu128 = unpack_monu(sup_c)  # bf16 [K, W]
+        if P > 1:
+            sub_m = jax.nn.one_hot(flat_ids % P, P, dtype=jnp.float32)
+            mu_rows = jnp.einsum(
+                "kp,kpd->kd", sub_m, mu128.astype(jnp.float32).reshape(K, P, dim))
+            nu_rows = jnp.einsum(
+                "kp,kpd->kd", sub_m, nu128.astype(jnp.float32).reshape(K, P, dim))
+        else:
+            mu_rows, nu_rows = mu128, nu128
+    elif fused:
         # ONE gather for both moments: [K, 2W] super-rows, mu lanes [:W]
         W = state.monu.shape[1] // 2
         sup = jnp.take(
@@ -350,6 +411,48 @@ def two_phase_sparse_adam_unique(
         return jnp.zeros((Kp, width), jnp.float32).at[pinv].add(wide)
 
     acc_t = acc(d_table, row_width)
+    if packed:
+        # new container values per logical position: new bf16 (mu, nu)
+        # pairs widened to the owned lanes; lane-ownership mask from the
+        # same one-hot.  Accumulation at unique slots is done in int32
+        # (payloads are opaque bitpatterns; disjoint-lane integer adds are
+        # exact and cannot canonicalize NaNs/denormals the way f32 adds
+        # could).
+        def widen(x, dtype):
+            if P > 1:
+                return jnp.einsum("kp,kd->kpd", sub, x).reshape(
+                    K, P * dim).astype(dtype)
+            return x.astype(dtype)
+
+        vals_c = pack_monu(
+            widen(new_mu, jnp.float32).astype(jnp.bfloat16),
+            widen(new_nu, jnp.float32).astype(jnp.bfloat16),
+        )  # [K, W] f32 container
+        own = widen(jnp.broadcast_to(r, (K, dim)), jnp.float32)  # 1.0 owned
+        vals_i = jnp.where(
+            own > 0, jax.lax.bitcast_convert_type(vals_c, jnp.int32), 0
+        )
+        acc_vals = jax.lax.bitcast_convert_type(
+            jnp.zeros((Kp, row_width), jnp.int32).at[pinv].add(vals_i),
+            jnp.float32,
+        )
+        acc_mask = jnp.zeros((Kp, row_width), jnp.float32).at[pinv].add(own)
+        if use_pallas:
+            from ..ops.pallas_scatter import pallas_rows_update
+
+            table, monu = pallas_rows_update(
+                (table, state.monu), pids, (acc_t, acc_vals),
+                modes=("add", "set"), masks=(None, acc_mask),
+                chunk=min(chunk, Kp), interpret=interpret,
+            )
+        else:
+            kw = dict(unique_indices=True, indices_are_sorted=True)
+            table = table.at[pids].add(acc_t, **kw)
+            old = jnp.take(state.monu, pids, axis=0, **kw)
+            monu = state.monu.at[pids].set(
+                jnp.where(acc_mask > 0, acc_vals, old), **kw
+            )
+        return table, SparseAdamPackedState(monu=monu, count=count)
     if fused:
         acc_monu = jnp.concatenate(
             [acc(d_mu, W), acc(d_nu, W)], axis=1)  # [Kp, 2W]

@@ -165,18 +165,22 @@ class Trainer:
             # interpret mode runs the Pallas kernel on CPU (tests)
             self._pallas_interpret = jax.devices()[0].platform == "cpu"
             mdt = str(mc.extra.get("table_opt_dtype") or "float32")
+            # Mosaic rejects single-row DMA slices of sub-32-bit HBM arrays
+            # (bf16 tiling (8,128)(2,1) packs rows; a 1-row slice is
+            # unaligned).  bf16 moments therefore ride the pallas path as
+            # (mu, nu) pairs PACKED into f32 lanes (SparseAdamPackedState);
+            # f16 has no packed layout implemented.
+            self._packed_moments = (
+                self.table_update == "pallas" and mdt == "bfloat16"
+            )
             if (
                 self.table_update == "pallas"
                 and not self._pallas_interpret
-                and mdt in ("bfloat16", "float16")
+                and mdt == "float16"
             ):
-                # Mosaic rejects single-row DMA slices of sub-32-bit HBM
-                # arrays (bf16 tiling (8,128)(2,1) packs rows; a 1-row
-                # slice is unaligned).  f32 rows slice fine.
                 raise ValueError(
-                    "table_update='pallas' requires float32 moment storage "
-                    f"on TPU (got table_opt_dtype={mdt!r}); use "
-                    "table_update='unique' for reduced-precision moments"
+                    "table_update='pallas' supports float32 or bfloat16 "
+                    f"moment storage, got table_opt_dtype={mdt!r}"
                 )
         if self.two_phase_embedding and (
             self.is_pcgrad
@@ -928,6 +932,7 @@ class Trainer:
                             )
                         )
                     ),
+                    packed=getattr(self, "_packed_moments", False),
                 )
         # two_phase_embedding composes with a mesh through GSPMD: the table
         # (and its mu/nu) stay vocab-row-sharded over 'model', the row

@@ -418,3 +418,96 @@ def test_trainer_fused_moments_state_and_opt_out():
         tr = Trainer(model, seed=0).compile()
         tr.fit(x, y, batch_size=128, epochs=1, verbose=0)
         assert isinstance(tr._train_state["table_opt"], want)
+
+
+def test_pack_unpack_monu_roundtrip():
+    from mmlrec_tpu.train.sparse_embedding import pack_monu, unpack_monu
+
+    rng = np.random.default_rng(0)
+    mu = jnp.asarray(rng.normal(size=(5, 8)), jnp.float32).astype(jnp.bfloat16)
+    nu = jnp.asarray(np.abs(rng.normal(size=(5, 8))), jnp.float32).astype(jnp.bfloat16)
+    c = pack_monu(mu, nu)
+    assert c.dtype == jnp.float32 and c.shape == (5, 8)
+    m2, n2 = unpack_monu(c)
+    np.testing.assert_array_equal(np.asarray(m2).view(np.uint16),
+                                  np.asarray(mu).view(np.uint16))
+    np.testing.assert_array_equal(np.asarray(n2).view(np.uint16),
+                                  np.asarray(nu).view(np.uint16))
+
+
+def test_two_phase_packed_moments_matches_baseline():
+    """Packed bf16-pair moments track the split-bf16 baseline closely and
+    leave untouched rows bit-identical; table matches within bf16 moment
+    rounding.  Two chained steps exercise warm-moment gathers."""
+    from mmlrec_tpu.train.sparse_embedding import (
+        SparseAdamPackedState,
+        batch_dedup_metadata,
+        batch_phys_metadata,
+        two_phase_sparse_adam,
+        two_phase_sparse_adam_unique,
+        unpack_monu,
+    )
+
+    V, D, P, K = 32, 4, 2, 12
+    rng = np.random.default_rng(7)
+    packed_tab = jnp.asarray(rng.normal(size=(V // P, P * D)), jnp.float32)
+    flat_ids = np.asarray([8, 9, 8, 3, 21, 9, 14, 3, 30, 21, 2, 8], np.int64)
+    inv, rep = batch_dedup_metadata(flat_ids[None, :])
+    pids, pinv = batch_phys_metadata(flat_ids[None, :], P, V // P, chunk=4)
+    args = (jnp.asarray(flat_ids, jnp.int32), jnp.asarray(inv[0]),
+            jnp.asarray(rep[0]))
+    uargs = args[:1] + (args[1], args[2], jnp.asarray(pids[0]),
+                        jnp.asarray(pinv[0]))
+    lr = 0.05
+
+    for use_pallas in (False, True):
+        bt, bs = packed_tab, init_sparse_adam(packed_tab, dtype=jnp.bfloat16)
+        ut, us = packed_tab, init_sparse_adam(packed_tab, packed=True)
+        for step in range(2):
+            g = jnp.asarray(rng.normal(size=(K, D)), jnp.float32)
+            bt, bs = two_phase_sparse_adam(
+                bt, g, *args, bs, lr=lr, pack_factor=P)
+            ut, us = two_phase_sparse_adam_unique(
+                ut, g, *uargs, us, lr=lr, pack_factor=P,
+                use_pallas=use_pallas, interpret=True)
+        assert isinstance(us, SparseAdamPackedState)
+        np.testing.assert_allclose(np.asarray(ut), np.asarray(bt), atol=2e-3)
+        mu_p, nu_p = unpack_monu(us.monu)
+        np.testing.assert_allclose(
+            np.asarray(mu_p).astype(np.float32),
+            np.asarray(bs.mu).astype(np.float32), atol=2e-2)
+        np.testing.assert_allclose(
+            np.asarray(nu_p).astype(np.float32),
+            np.asarray(bs.nu).astype(np.float32), atol=2e-2)
+        # untouched physical rows bit-identical (zero moments, zero table)
+        touched = np.unique(flat_ids // P)
+        untouched = np.setdiff1d(np.arange(V // P), touched)
+        np.testing.assert_array_equal(
+            np.asarray(ut[untouched]), np.asarray(packed_tab[untouched]))
+        np.testing.assert_array_equal(
+            np.asarray(us.monu[untouched]), 0.0)
+
+
+def test_trainer_pallas_bf16_uses_packed_moments():
+    from mmlrec_tpu.train.sparse_embedding import SparseAdamPackedState
+
+    kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+              n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,), epochs=2,
+              batch_size=128, lr=3e-3, two_phase_embedding=True, vocab=400,
+              table_update="pallas", table_opt_dtype="bfloat16")
+    cfg = make_config(**kw)
+    layout, x, y, _ = make_data(cfg, n=600, seed=0, vocab=400)
+    tr = Trainer(get_model("sharedbottom", layout, cfg), seed=0).compile()
+    tr.fit(x, y, batch_size=128, epochs=2, verbose=0)
+    assert isinstance(tr._train_state["table_opt"], SparseAdamPackedState)
+    assert np.isfinite(tr.history[-1]["loss"])
+
+    # close to the split-bf16 scatter baseline
+    kw2 = {k: v for k, v in kw.items() if k != "table_update"}
+    cfg2 = make_config(**kw2)
+    layout2, x2, y2, _ = make_data(cfg2, n=600, seed=0, vocab=400)
+    tr2 = Trainer(get_model("sharedbottom", layout2, cfg2), seed=0).compile()
+    tr2.fit(x2, y2, batch_size=128, epochs=2, verbose=0)
+    t1 = np.asarray(tr.variables["params"]["embeddings"]["fused"]["table"])
+    t2 = np.asarray(tr2.variables["params"]["embeddings"]["fused"]["table"])
+    np.testing.assert_allclose(t1, t2, atol=5e-3)
