@@ -41,10 +41,7 @@ def run(mode: str, vocab_per_feature: int = VOCAB, n_sparse: int = 16,
     from mmlrec_tpu.models import get_model
     from mmlrec_tpu.synthetic import make_config
     from mmlrec_tpu.train import Trainer
-    from mmlrec_tpu.train.sparse_embedding import (
-        batch_dedup_metadata,
-        init_sparse_adam,
-    )
+    from mmlrec_tpu.train.sparse_embedding import init_sparse_adam
 
     kw = dict(
         task_name="mtl", model_name="mmoe", emb=emb_dim, n_sparse=n_sparse,
@@ -90,7 +87,7 @@ def run(mode: str, vocab_per_feature: int = VOCAB, n_sparse: int = 16,
     }
     offs = np.asarray(trainer._fused_offsets)[None, :]
     flat = (ids_np.astype(np.int64) + offs).reshape(1, -1)
-    meta = batch_dedup_metadata(flat) + trainer._phys_metadata(flat)
+    meta = trainer._step_metadata(flat)
     uniq = len(np.unique(flat[0]))
     print(f"[{mode}] {uniq} unique of {flat.shape[1]} ids"
           + (f" (zipf {ZIPF})" if ZIPF else ""), flush=True)

@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _rmw_kernel(chunk, n_arrays, modes, ids_ref, *refs):
+def _rmw_kernel(chunk, n_arrays, modes, ids_ref, nreal_ref, *refs):
     # refs layout: [d_0..d_{n-1} (VMEM windows),
     #               m_0..m_{s-1} (VMEM mask windows, "set" arrays only),
     #               t_in_0..t_in_{n-1} (HBM),
@@ -59,36 +59,47 @@ def _rmw_kernel(chunk, n_arrays, modes, ids_ref, *refs):
             scratch[a].at[j], out_refs[a].at[idx], sems.at[a]
         )
 
-    for a in range(n_arrays):
-        for j in range(chunk):
-            read(a, j).start()
-    set_idx = 0
-    for a in range(n_arrays):
-        for j in range(chunk):
-            read(a, j).wait()
-        if modes[a] == "set":
-            # masked byte-select merge: dtype-agnostic, so the array may be
-            # an opaque container (e.g. bf16 moment PAIRS bitcast into f32
-            # lanes) — no arithmetic touches the payload
-            scratch[a][:] = jnp.where(
-                m_refs[set_idx][:] != 0, d_refs[a][:], scratch[a][:]
-            )
-            set_idx += 1
-        else:
-            scratch[a][:] = (
-                scratch[a][:].astype(jnp.float32)
-                + d_refs[a][:].astype(jnp.float32)
-            ).astype(scratch[a].dtype)
-    for a in range(n_arrays):
-        for j in range(chunk):
-            write(a, j).start()
-    for a in range(n_arrays):
-        for j in range(chunk):
-            write(a, j).wait()
+    # Slots >= n_real are padding (untouched distinct rows at the TAIL with
+    # zero / unmasked deltas).  Skew-heavy batches (zipf traffic) leave most
+    # slots padded, so skipping pad work scales the kernel with the batch's
+    # UNIQUE row count rather than K.  Granularity is the whole CHUNK: a
+    # per-DMA predicate measured SLOWER than the skipped DMAs saved (the
+    # scalar core both evaluates predicates and issues DMAs), so only
+    # all-pad chunks are skipped and the boundary chunk runs in full.
+    @pl.when(i * chunk < nreal_ref[0])
+    def _body():
+        for a in range(n_arrays):
+            for j in range(chunk):
+                read(a, j).start()
+        set_idx = 0
+        for a in range(n_arrays):
+            for j in range(chunk):
+                read(a, j).wait()
+            if modes[a] == "set":
+                # masked byte-select merge: dtype-agnostic, so the array
+                # may be an opaque container (e.g. bf16 moment PAIRS
+                # bitcast into f32 lanes) — no arithmetic touches the
+                # payload
+                scratch[a][:] = jnp.where(
+                    m_refs[set_idx][:] != 0, d_refs[a][:], scratch[a][:]
+                )
+                set_idx += 1
+            else:
+                scratch[a][:] = (
+                    scratch[a][:].astype(jnp.float32)
+                    + d_refs[a][:].astype(jnp.float32)
+                ).astype(scratch[a].dtype)
+        for a in range(n_arrays):
+            for j in range(chunk):
+                write(a, j).start()
+        for a in range(n_arrays):
+            for j in range(chunk):
+                write(a, j).wait()
 
 
 def pallas_rows_update(arrays, ids, deltas, *, modes=None, masks=None,
-                       chunk: int = 256, interpret: bool = False):
+                       n_real=None, chunk: int = 256,
+                       interpret: bool = False):
     """Fused per-row-DMA read-modify-write over several [V, D_a] arrays.
 
     Per array, mode "add" (default) performs ``arrays[a][ids[k]] +=
@@ -104,6 +115,9 @@ def pallas_rows_update(arrays, ids, deltas, *, modes=None, masks=None,
     deltas: tuple of [K, D_a] arrays (add deltas, or set values).
     masks: per-array [K, D_a] (array dtype; nonzero = lane owned) for every
     "set" entry, None for "add" entries.
+    n_real: optional [1] int32 device scalar — ids[n_real:] are padding and
+    their DMAs are skipped, so kernel work scales with the batch's unique
+    row count (skewed traffic) instead of K.  None = all K real.
     Returns the updated arrays (buffers donated via input_output_aliases).
     """
     n = len(arrays)
@@ -124,9 +138,11 @@ def pallas_rows_update(arrays, ids, deltas, *, modes=None, masks=None,
         assert a.shape[0] == V and d.shape == (K, a.shape[1])
     grid = (K // chunk,)
     s = len(set_masks)
-    win = lambda i, ids: (i, 0)
+    if n_real is None:
+        n_real = jnp.full((1,), K, jnp.int32)
+    win = lambda i, ids, nreal: (i, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=(
             [
@@ -151,19 +167,19 @@ def pallas_rows_update(arrays, ids, deltas, *, modes=None, masks=None,
         functools.partial(_rmw_kernel, chunk, n, modes),
         out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrays],
         grid_spec=grid_spec,
-        # alias each [V, D] array input (operand 1 + n + s + a: after the
-        # prefetched ids, the deltas and the set masks) to output a so the
-        # update is in-place
-        input_output_aliases={1 + n + s + a: a for a in range(n)},
+        # alias each [V, D] array input (operand 2 + n + s + a: after the
+        # prefetched ids + n_real, the deltas and the set masks) to output
+        # a so the update is in-place
+        input_output_aliases={2 + n + s + a: a for a in range(n)},
         interpret=interpret,
-    )(ids, *deltas, *set_masks, *arrays)
+    )(ids, n_real, *deltas, *set_masks, *arrays)
     return tuple(out)
 
 
-def pallas_rows_add(arrays, ids, deltas, *, chunk: int = 256,
+def pallas_rows_add(arrays, ids, deltas, *, n_real=None, chunk: int = 256,
                     interpret: bool = False):
     """``arrays[a][ids[k]] += deltas[a][k]`` for every array in one fused
     per-row-DMA pass (all-"add" form of pallas_rows_update)."""
     return pallas_rows_update(
-        arrays, ids, deltas, chunk=chunk, interpret=interpret
+        arrays, ids, deltas, n_real=n_real, chunk=chunk, interpret=interpret
     )

@@ -174,14 +174,82 @@ def batch_dedup_metadata(flat_ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     position of the first occurrence of flat_ids[b, j] within batch b, and
     rep[b, j] is 1.0 iff j IS that first occurrence.
     """
+    return batch_step_metadata(flat_ids)[:2]
+
+
+def batch_step_metadata(
+    flat_ids: np.ndarray,
+    pack_factor: int | None = None,
+    n_phys_rows: int | None = None,
+    chunk: int = 256,
+):
+    """All host-side per-batch metadata from ONE batched argsort.
+
+    At production K (65k ids/batch) the two separate np.unique calls of
+    batch_dedup_metadata + batch_phys_metadata cost ~15.6 ms/batch — more
+    than the 9.7 ms device step they feed.  This computes (inv, rep) and,
+    when ``pack_factor``/``n_phys_rows`` are given, (pids, pinv, nuniq) from
+    a single np.argsort over all batches: with a STABLE sort the first
+    element of each equal-value run is the first occurrence, and the sorted
+    physical ids (flat // P, monotone under sort) yield the unique-physical
+    slots as their run index.
+    """
     steps, K = flat_ids.shape
+    flat = flat_ids.astype(np.int64)
+    # stable value-sort with index tracking via ONE plain np.sort of a
+    # (value << idx_bits | index) composite: np.argsort costs ~6.5 ms per
+    # 65k-row batch while np.sort costs ~0.3 ms (no index permutation
+    # array to maintain), and stability falls out of the composite order.
+    idx_bits = max(1, int(K - 1).bit_length())
+    assert int(flat.max(initial=0)) < (1 << (63 - idx_bits)), "id overflow"
+    comp = np.sort((flat << idx_bits) | np.arange(K, dtype=np.int64), axis=1)
+    order = (comp & ((1 << idx_bits) - 1)).astype(np.int64)
+    svals = comp >> idx_bits
+    newv = np.ones((steps, K), bool)
+    newv[:, 1:] = svals[:, 1:] != svals[:, :-1]
     inv = np.empty((steps, K), np.int32)
     rep = np.zeros((steps, K), np.float32)
+    want_phys = pack_factor is not None
+    if want_phys:
+        if n_phys_rows is None:
+            raise ValueError("n_phys_rows required with pack_factor")
+        Kp = -(-K // chunk) * chunk
+        if n_phys_rows <= Kp:
+            raise ValueError(
+                f"unique-update metadata needs n_phys_rows > {Kp}, "
+                f"got {n_phys_rows}"
+            )
+        psvals = svals // pack_factor  # still sorted (// is monotone)
+        pnew = np.ones((steps, K), bool)
+        pnew[:, 1:] = psvals[:, 1:] != psvals[:, :-1]
+        # phys slot per SORTED position (unique phys rows in ascending order)
+        pgrp = np.cumsum(pnew, axis=1, dtype=np.int32) - 1
+        pids = np.empty((steps, Kp), np.int32)
+        pinv = np.empty((steps, K), np.int32)
+        nuniq = np.empty((steps, 1), np.int32)
+    grp_all = np.cumsum(newv, axis=1, dtype=np.int32) - 1
     for b in range(steps):
-        row = flat_ids[b]
-        _, first_idx, inverse = np.unique(row, return_index=True, return_inverse=True)
-        inv[b] = first_idx[inverse]
-        rep[b, first_idx] = 1.0
+        ob, nb = order[b], newv[b]
+        # spread the group-start original index to every sorted position
+        first_sorted = ob[nb]  # original index of each run's first element
+        inv[b, ob] = first_sorted[grp_all[b]]
+        rep[b, first_sorted] = 1.0
+        if want_phys:
+            u = psvals[b][pnew[b]]
+            U = len(u)
+            pids[b, :U] = u
+            pinv[b, ob] = pgrp[b]
+            nuniq[b, 0] = U
+            if U < Kp:
+                # distinct untouched rows at the TAIL (see
+                # batch_phys_metadata): the first non-members of u in
+                # [0, Kp] via an O(Kp) presence mask (setdiff1d re-sorts
+                # and costs ~2 ms/batch at K=65k)
+                present = np.zeros(Kp + 1, bool)
+                present[u[u <= Kp]] = True
+                pids[b, U:] = np.flatnonzero(~present)[: Kp - U]
+    if want_phys:
+        return inv, rep, pids, pinv, nuniq
     return inv, rep
 
 
@@ -196,52 +264,32 @@ def batch_phys_metadata(
     The big-array cost of the two-phase step is the scatter-adds at
     ``flat_ids // pack_factor`` (duplicates allowed).  This precomputes, per
     batch, a duplicate-free *sorted* physical row list so the device update
-    can (a) pass ``unique_indices=True, indices_are_sorted=True`` to XLA's
+    can (a) pass ``unique_indices=True`` to XLA's
     scatter or (b) drive the Pallas rows-RMW kernel, whose contract requires
     unique rows (ops/pallas_scatter.py).
 
     flat_ids: [steps, K] logical fused-table row ids.
-    Returns (pids [steps, Kp] int32, pinv [steps, K] int32) with
-    Kp = ceil(K / chunk) * chunk:
+    Returns (pids [steps, Kp] int32, pinv [steps, K] int32,
+    nuniq [steps, 1] int32) with Kp = ceil(K / chunk) * chunk:
 
-    * pids[b]: batch b's unique physical rows, sorted ascending, padded to
-      Kp with DISTINCT physical rows the batch does not touch (so the whole
-      list stays strictly unique — pad rows receive zero deltas and are
-      rewritten unchanged);
-    * pinv[b, j]: the slot of flat_ids[b, j]'s physical row within pids[b].
+    * pids[b]: slots [0, nuniq) hold batch b's unique physical rows sorted
+      ascending; tail slots hold DISTINCT physical rows the batch does not
+      touch (the whole list stays strictly unique — pad rows receive zero /
+      unmasked deltas and are rewritten unchanged, and the kernel can skip
+      them entirely via its n_real argument);
+    * pinv[b, j]: the slot of flat_ids[b, j]'s physical row within pids[b];
+    * nuniq[b, 0]: the unique count — slots >= nuniq are padding.
+
+    The list is NOT globally sorted (pads sit at the tail whatever their
+    value), so callers must not claim ``indices_are_sorted`` to XLA; the
+    kernel contract only needs uniqueness.
 
     Requires n_phys_rows > Kp (always true at the large vocabularies where
     the unique-update path is worth enabling).
     """
-    steps, K = flat_ids.shape
-    Kp = -(-K // chunk) * chunk
-    if n_phys_rows <= Kp:
-        raise ValueError(
-            f"unique-update metadata needs n_phys_rows > {Kp}, got {n_phys_rows}"
-        )
-    phys = (flat_ids.astype(np.int64) // pack_factor)
-    pids = np.empty((steps, Kp), np.int32)
-    pinv = np.empty((steps, K), np.int32)
-    for b in range(steps):
-        u, inverse = np.unique(phys[b], return_inverse=True)
-        npad = Kp - len(u)
-        if npad:
-            # distinct untouched rows: the first npad non-members of u in
-            # [0, Kp] (arange(Kp + 1) has Kp + 1 candidates, u removes at
-            # most Kp of them, and n_phys_rows > Kp keeps them in range)
-            pads = np.setdiff1d(
-                np.arange(Kp + 1, dtype=np.int64), u, assume_unique=True
-            )[:npad]
-            merged = np.concatenate([u, pads])
-            order = np.argsort(merged, kind="stable")
-            inv_order = np.empty(Kp, np.int64)
-            inv_order[order] = np.arange(Kp)
-            pids[b] = merged[order]
-            pinv[b] = inv_order[:len(u)][inverse]
-        else:
-            pids[b] = u
-            pinv[b] = inverse
-    return pids, pinv
+    return batch_step_metadata(
+        flat_ids, pack_factor, n_phys_rows, chunk=chunk
+    )[2:]
 
 
 def gather_rows(table: jnp.ndarray, flat_ids: jnp.ndarray, dim: int, pack_factor: int):
@@ -328,6 +376,7 @@ def two_phase_sparse_adam_unique(
     use_pallas: bool = False,
     interpret: bool = False,
     chunk: int = 256,
+    n_real=None,  # [1] int32: pids[n_real:] are padding (kernel skips them)
 ):
     """two_phase_sparse_adam with duplicate-free big-array updates.
 
@@ -335,7 +384,7 @@ def two_phase_sparse_adam_unique(
     accumulated into a small [Kp, row] buffer at each id's unique-physical-
     row slot (host metadata from batch_phys_metadata), so the three
     whole-table updates touch each physical row exactly once.  That allows
-    either XLA scatter-adds with ``unique_indices + indices_are_sorted`` or
+    either XLA scatter-adds with ``unique_indices`` or
     the fused Pallas rows-RMW kernel (ops/pallas_scatter.py) — one pass of
     pipelined row DMAs updating table+mu+nu together.
 
@@ -443,10 +492,10 @@ def two_phase_sparse_adam_unique(
             table, monu = pallas_rows_update(
                 (table, state.monu), pids, (acc_t, acc_vals),
                 modes=("add", "set"), masks=(None, acc_mask),
-                chunk=min(chunk, Kp), interpret=interpret,
+                n_real=n_real, chunk=min(chunk, Kp), interpret=interpret,
             )
         else:
-            kw = dict(unique_indices=True, indices_are_sorted=True)
+            kw = dict(unique_indices=True)
             table = table.at[pids].add(acc_t, **kw)
             old = jnp.take(state.monu, pids, axis=0, **kw)
             monu = state.monu.at[pids].set(
@@ -461,10 +510,10 @@ def two_phase_sparse_adam_unique(
 
             table, monu = pallas_rows_add(
                 (table, state.monu), pids, (acc_t, acc_monu),
-                chunk=min(chunk, Kp), interpret=interpret,
+                n_real=n_real, chunk=min(chunk, Kp), interpret=interpret,
             )
         else:
-            kw = dict(unique_indices=True, indices_are_sorted=True)
+            kw = dict(unique_indices=True)
             table = table.at[pids].add(acc_t, **kw)
             monu = state.monu.at[pids].add(acc_monu.astype(mdt), **kw)
         return table, SparseAdamFusedState(monu=monu, count=count)
@@ -474,10 +523,10 @@ def two_phase_sparse_adam_unique(
 
         table, mu, nu = pallas_rows_add(
             (table, state.mu, state.nu), pids, (acc_t, acc_mu, acc_nu),
-            chunk=min(chunk, Kp), interpret=interpret,
+            n_real=n_real, chunk=min(chunk, Kp), interpret=interpret,
         )
     else:
-        kw = dict(unique_indices=True, indices_are_sorted=True)
+        kw = dict(unique_indices=True)
         table = table.at[pids].add(acc_t, **kw)
         mu = state.mu.at[pids].add(acc_mu.astype(mdt), **kw)
         nu = state.nu.at[pids].add(acc_nu.astype(mdt), **kw)

@@ -464,7 +464,7 @@ class Trainer:
         if self.table_update != "scatter":
             from .sparse_embedding import two_phase_sparse_adam_unique
 
-            pids, pinv = batch[7], batch[8]
+            pids, pinv, nuniq = batch[7], batch[8], batch[9]
             new_table, new_table_opt = two_phase_sparse_adam_unique(
                 table,
                 g_rows.reshape(B * F, self._emb_dim),
@@ -478,6 +478,7 @@ class Trainer:
                 pack_factor=self._emb_pack_factor,
                 use_pallas=self.table_update == "pallas",
                 interpret=self._pallas_interpret,
+                n_real=nuniq,
             )
         else:
             new_table, new_table_opt = two_phase_sparse_adam(
@@ -696,14 +697,16 @@ class Trainer:
     # therefore lives in the train state as a device counter and the epoch's
     # shuffled indices/weights are transferred once per epoch.
 
-    def _phys_metadata(self, flat: np.ndarray) -> tuple:
-        """(pids, pinv) unique-physical-row stacks for flat [steps, K]
-        logical ids — empty under the default scatter update."""
-        if self.table_update == "scatter":
-            return ()
-        from .sparse_embedding import batch_phys_metadata
+    def _step_metadata(self, flat: np.ndarray) -> tuple:
+        """Per-batch host metadata stacks for flat [steps, K] logical ids:
+        (inv, rep) under the default scatter update, plus
+        (pids, pinv, nuniq) under unique/pallas — all from one sort
+        (train/sparse_embedding.py batch_step_metadata)."""
+        from .sparse_embedding import batch_step_metadata
 
-        return batch_phys_metadata(
+        if self.table_update == "scatter":
+            return batch_step_metadata(flat)
+        return batch_step_metadata(
             flat, self._emb_pack_factor, self._emb_phys_rows
         )
 
@@ -995,15 +998,12 @@ class Trainer:
                 if self.two_phase_embedding:
                     # batch composition is FIXED in block mode, so per-batch
                     # duplicate metadata is computed once per fit
-                    from .sparse_embedding import batch_dedup_metadata
-
                     ids_p = rep(ids) if pad_tail else ids
                     offs = np.asarray(self._fused_offsets)[None, :]
                     flat = (ids_p.astype(np.int64) + offs).reshape(
                         steps_per_epoch, batch_size * ids.shape[1]
                     )
-                    block_dedup = batch_dedup_metadata(flat)
-                    block_dedup += self._phys_metadata(flat)
+                    block_dedup = self._step_metadata(flat)
             else:
                 staged = self._stage_dataset(ids, dense, y, dmask)
                 step_dev = self._make_gather_step()
@@ -1072,15 +1072,14 @@ class Trainer:
                     if self.two_phase_embedding:
                         # full-shuffle: batch composition changes per epoch,
                         # recompute duplicate metadata from the host order
-                        from .sparse_embedding import batch_dedup_metadata
-
                         offs = np.asarray(self._fused_offsets)[None, None, :]
                         ids_e = ids[idx_full.reshape(steps_this_epoch, batch_size)]
                         flat = (ids_e.astype(np.int64) + offs).reshape(
                             steps_this_epoch, -1
                         )
-                        meta = batch_dedup_metadata(flat) + self._phys_metadata(flat)
-                        dedup_dev = tuple(jnp.asarray(a) for a in meta)
+                        dedup_dev = tuple(
+                            jnp.asarray(a) for a in self._step_metadata(flat)
+                        )
                     for s in range(steps_this_epoch):
                         state, total_loss, data_loss, probs = step_dev(
                             state, staged, idx2d_dev, w2d_dev, dedup_dev
@@ -1122,11 +1121,9 @@ class Trainer:
 
                         batch = shard_batch(batch, self.mesh)
                     if self.two_phase_embedding:
-                        from .sparse_embedding import batch_dedup_metadata
-
                         offs = np.asarray(self._fused_offsets)[None, :]
                         flat = (ids[idx].astype(np.int64) + offs).reshape(1, -1)
-                        meta = batch_dedup_metadata(flat) + self._phys_metadata(flat)
+                        meta = self._step_metadata(flat)
                         batch = batch + tuple(jnp.asarray(a[0]) for a in meta)
                     state, total_loss, data_loss, probs = train_step(state, batch)
                     total_steps += 1

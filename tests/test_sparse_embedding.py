@@ -230,12 +230,13 @@ def test_batch_phys_metadata():
 
     # pack_factor=2: logical ids 6,7 share physical row 3
     flat = np.asarray([[6, 7, 6, 2, 9, 2]])
-    pids, pinv = batch_phys_metadata(flat, pack_factor=2, n_phys_rows=64,
-                                     chunk=4)
+    pids, pinv, nuniq = batch_phys_metadata(flat, pack_factor=2,
+                                            n_phys_rows=64, chunk=4)
     assert pids.shape == (1, 8) and pinv.shape == (1, 6)
-    # strictly unique + sorted
+    assert nuniq.shape == (1, 1) and nuniq[0, 0] == 3
+    # strictly unique; real slots sorted ascending, pads at the tail
     assert len(np.unique(pids[0])) == 8
-    np.testing.assert_array_equal(pids[0], np.sort(pids[0]))
+    np.testing.assert_array_equal(pids[0, :3], np.sort(pids[0, :3]))
     # touched physical rows {3, 1, 4} present; pinv maps each logical id
     # to its physical row's slot
     phys = flat[0] // 2
@@ -270,7 +271,7 @@ def _unique_case(mdt=jnp.float32, use_pallas=False):
     flat_ids = np.asarray([8, 9, 8, 3, 21, 9, 14, 3, 30, 21, 2, 8], np.int64)
     g_rows = jnp.asarray(rng.normal(size=(K, D)), jnp.float32)
     inv, rep = batch_dedup_metadata(flat_ids[None, :])
-    pids, pinv = batch_phys_metadata(flat_ids[None, :], P, V // P, chunk=4)
+    pids, pinv, _ = batch_phys_metadata(flat_ids[None, :], P, V // P, chunk=4)
     state0 = init_sparse_adam(packed, dtype=mdt)
     lr = 0.05
     base_t, base_s = two_phase_sparse_adam(
@@ -372,7 +373,7 @@ def test_two_phase_unique_fused_moments():
     flat_ids = np.asarray([8, 9, 8, 3, 21, 9, 14, 3, 30, 21, 2, 8], np.int64)
     g_rows = jnp.asarray(rng.normal(size=(K, D)), jnp.float32)
     inv, rep = batch_dedup_metadata(flat_ids[None, :])
-    pids, pinv = batch_phys_metadata(flat_ids[None, :], P, V // P, chunk=4)
+    pids, pinv, _ = batch_phys_metadata(flat_ids[None, :], P, V // P, chunk=4)
     lr = 0.05
     base_t, base_s = two_phase_sparse_adam(
         packed, g_rows, jnp.asarray(flat_ids, jnp.int32), jnp.asarray(inv[0]),
@@ -453,7 +454,7 @@ def test_two_phase_packed_moments_matches_baseline():
     packed_tab = jnp.asarray(rng.normal(size=(V // P, P * D)), jnp.float32)
     flat_ids = np.asarray([8, 9, 8, 3, 21, 9, 14, 3, 30, 21, 2, 8], np.int64)
     inv, rep = batch_dedup_metadata(flat_ids[None, :])
-    pids, pinv = batch_phys_metadata(flat_ids[None, :], P, V // P, chunk=4)
+    pids, pinv, _ = batch_phys_metadata(flat_ids[None, :], P, V // P, chunk=4)
     args = (jnp.asarray(flat_ids, jnp.int32), jnp.asarray(inv[0]),
             jnp.asarray(rep[0]))
     uargs = args[:1] + (args[1], args[2], jnp.asarray(pids[0]),
