@@ -135,15 +135,32 @@ class Trainer:
             self._emb_pack_factor = pack_factor_for(int(sum(vocabs)), self._emb_dim)
         # duplicate-free big-array updates (train/sparse_embedding.py
         # two_phase_sparse_adam_unique): "scatter" = rep-masked XLA
-        # scatter-adds (default), "unique" = XLA scatter with unique+sorted
-        # index guarantees, "pallas" = fused rows-RMW kernel
-        # (ops/pallas_scatter.py) updating table+mu+nu in one pass of
-        # pipelined row DMAs.
-        self.table_update = str(mc.extra.get("table_update", "scatter"))
-        if self.table_update not in ("scatter", "unique", "pallas"):
+        # scatter-adds, "unique" = XLA scatter with unique-index guarantees
+        # (measured slower end-to-end — fallback only), "pallas" = fused
+        # rows-RMW kernel (ops/pallas_scatter.py) updating table+moments in
+        # one pass of pipelined row DMAs (2.06x at 40M x 32,
+        # docs/perf_notes.md).  Default "auto" picks pallas on a real TPU
+        # when its constraints hold (128-lane physical rows, single device,
+        # f32/bf16 moments) and scatter otherwise.
+        self.table_update = str(mc.extra.get("table_update", "auto"))
+        if self.table_update not in ("auto", "scatter", "unique", "pallas"):
             raise ValueError(
-                f"table_update must be scatter|unique|pallas, got "
+                f"table_update must be auto|scatter|unique|pallas, got "
                 f"{self.table_update!r}"
+            )
+        if self.table_update == "auto":
+            on_tpu = jax.devices()[0].platform != "cpu"
+            self.table_update = (
+                "pallas"
+                if (
+                    self.two_phase_embedding
+                    and self.mesh is None
+                    and on_tpu
+                    and self._emb_dim * self._emb_pack_factor == 128
+                    and str(mc.extra.get("table_opt_dtype") or "float32")
+                    in ("float32", "bfloat16")
+                )
+                else "scatter"
             )
         if self.table_update != "scatter":
             if not self.two_phase_embedding:

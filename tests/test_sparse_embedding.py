@@ -512,3 +512,17 @@ def test_trainer_pallas_bf16_uses_packed_moments():
     t1 = np.asarray(tr.variables["params"]["embeddings"]["fused"]["table"])
     t2 = np.asarray(tr2.variables["params"]["embeddings"]["fused"]["table"])
     np.testing.assert_allclose(t1, t2, atol=5e-3)
+
+
+def test_table_update_auto_resolves_scatter_on_cpu():
+    """'auto' (the default) picks the pallas kernel only on a real TPU;
+    on CPU it resolves to scatter (interpret-mode kernels have no perf
+    benefit and would slow the suite)."""
+    kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+              n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,), epochs=1,
+              batch_size=128, lr=3e-3, two_phase_embedding=True, vocab=400)
+    for extra in ({}, {"table_update": "auto"}):
+        cfg = make_config(**kw, **extra)
+        layout, x, y, _ = make_data(cfg, n=200, seed=0, vocab=400)
+        tr = Trainer(get_model("sharedbottom", layout, cfg), seed=0)
+        assert tr.table_update == "scatter"
