@@ -52,7 +52,13 @@ def make_step(variant: str, vocab_per_feature=1_000_000, n_sparse=10, emb_dim=32
     _install_patch()
     packed = variant != "plain"
     _MODE["packed"] = packed
-    extra = {"two_phase_embedding": True} if variant == "twophase" else {}
+    # explicit scatter: the trainer default is now auto -> pallas on TPU,
+    # which would change what this A/B measures
+    extra = (
+        {"two_phase_embedding": True, "table_update": "scatter"}
+        if variant == "twophase"
+        else {}
+    )
     cfg = make_config(
         task_name="mtl", model_name="mmoe", emb=emb_dim, n_sparse=n_sparse,
         n_dense=4, hidden=(256, 128), tower=(64,), gate=(64,),

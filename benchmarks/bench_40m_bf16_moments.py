@@ -40,6 +40,7 @@ def main(moment_dtype: str = "bfloat16",
         task_name="mtl", model_name="mmoe", emb=emb_dim, n_sparse=n_sparse,
         n_dense=4, hidden=(256, 128), tower=(64,), gate=(64,),
         batch_size=batch_size, two_phase_embedding=True,
+        table_update="scatter",  # measure the scatter path (default is now auto->pallas)
         table_opt_dtype=moment_dtype,
     )
     cols = [SparseFeat(f"s{i}", vocab_per_feature, emb_dim)

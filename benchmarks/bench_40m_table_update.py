@@ -49,8 +49,9 @@ def run(mode: str, vocab_per_feature: int = VOCAB, n_sparse: int = 16,
         batch_size=batch_size, two_phase_embedding=True,
         table_opt_dtype=MOMENT_DTYPE,
     )
-    if mode != "scatter":
-        kw["table_update"] = mode
+    # always explicit: the trainer's default is now "auto", which would
+    # silently turn the scatter baseline into pallas on TPU
+    kw["table_update"] = mode
     cfg = make_config(**kw)
     cols = [SparseFeat(f"s{i}", vocab_per_feature, emb_dim)
             for i in range(n_sparse)] + [DenseFeat(f"d{i}", 1) for i in range(4)]
