@@ -97,6 +97,95 @@ def _rmw_kernel(chunk, n_arrays, modes, ids_ref, nreal_ref, *refs):
                 write(a, j).wait()
 
 
+def _write_kernel(chunk, n_arrays, ids_ref, nreal_ref, *refs):
+    # refs layout: [v_0..v_{n-1} (VMEM value windows),
+    #               t_in_0..t_in_{n-1} (HBM), t_out_0.. (HBM, aliased), sems]
+    v_refs = refs[:n_arrays]
+    out_refs = refs[2 * n_arrays: 3 * n_arrays]
+    sems = refs[3 * n_arrays]
+    i = pl.program_id(0)
+    nreal = nreal_ref[0]
+
+    def write(a, j):
+        idx = ids_ref[i * chunk + j]
+        return pltpu.make_async_copy(
+            v_refs[a].at[j], out_refs[a].at[idx], sems.at[a]
+        )
+
+    # Pad slots (>= n_real, at the TAIL) must NOT be written: unlike the
+    # RMW kernel their value windows hold zeros, not the rows' contents.
+    # Full chunks run predicate-free (per-DMA predicates measured ~20%
+    # slower overall — the scalar core issues DMAs AND evaluates them);
+    # only the ONE boundary chunk pays per-row predication.
+    @pl.when((i + 1) * chunk <= nreal)
+    def _full():
+        for a in range(n_arrays):
+            for j in range(chunk):
+                write(a, j).start()
+        for a in range(n_arrays):
+            for j in range(chunk):
+                write(a, j).wait()
+
+    @pl.when((i * chunk < nreal) & ((i + 1) * chunk > nreal))
+    def _boundary():
+        for a in range(n_arrays):
+            for j in range(chunk):
+                @pl.when(i * chunk + j < nreal)
+                def _s(a=a, j=j):
+                    write(a, j).start()
+        for a in range(n_arrays):
+            for j in range(chunk):
+                @pl.when(i * chunk + j < nreal)
+                def _w(a=a, j=j):
+                    write(a, j).wait()
+
+
+def pallas_rows_write(arrays, ids, values, *, n_real=None, chunk: int = 256,
+                      interpret: bool = False):
+    """``arrays[a][ids[k]] = values[a][k]`` for k < n_real, in one pass of
+    per-row WRITE DMAs — half the DMA issues of the read-modify-write form.
+
+    The caller supplies each touched row's complete NEW contents (the
+    two-phase step already holds the old rows from its phase-1 gather, so
+    new = old + delta / masked-merge is computed in XLA where it fuses for
+    free).  ids must be UNIQUE physical rows with all padding at the TAIL
+    (ids[n_real:]), exactly what batch_step_metadata emits; pad slots are
+    never written.
+    """
+    n = len(arrays)
+    assert len(values) == n
+    K = ids.shape[0]
+    V = arrays[0].shape[0]
+    assert K % chunk == 0, (K, chunk)
+    for a, v in zip(arrays, values):
+        assert a.shape[0] == V and v.shape == (K, a.shape[1])
+    if n_real is None:
+        n_real = jnp.full((1,), K, jnp.int32)
+    win = lambda i, ids, nreal: (i, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(K // chunk,),
+        in_specs=(
+            [
+                pl.BlockSpec((chunk, a.shape[1]), win,
+                             memory_space=pltpu.VMEM)
+                for a in arrays
+            ]
+            + [pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n)]
+        ),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n)],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((n,))],
+    )
+    out = pl.pallas_call(
+        functools.partial(_write_kernel, chunk, n),
+        out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrays],
+        grid_spec=grid_spec,
+        input_output_aliases={2 + n + a: a for a in range(n)},
+        interpret=interpret,
+    )(ids, n_real, *values, *arrays)
+    return tuple(out)
+
+
 def pallas_rows_update(arrays, ids, deltas, *, modes=None, masks=None,
                        n_real=None, chunk: int = 256,
                        interpret: bool = False):

@@ -377,6 +377,7 @@ def two_phase_sparse_adam_unique(
     interpret: bool = False,
     chunk: int = 256,
     n_real=None,  # [1] int32: pids[n_real:] are padding (kernel skips them)
+    sup=None,  # [K, W] phase-1 TABLE super-rows (reused; else re-gathered)
 ):
     """two_phase_sparse_adam with duplicate-free big-array updates.
 
@@ -384,9 +385,13 @@ def two_phase_sparse_adam_unique(
     accumulated into a small [Kp, row] buffer at each id's unique-physical-
     row slot (host metadata from batch_phys_metadata), so the three
     whole-table updates touch each physical row exactly once.  That allows
-    either XLA scatter-adds with ``unique_indices`` or
-    the fused Pallas rows-RMW kernel (ops/pallas_scatter.py) — one pass of
-    pipelined row DMAs updating table+mu+nu together.
+    either XLA scatter-adds with ``unique_indices`` or the Pallas
+    WRITE-ONLY row kernel (ops/pallas_scatter.py pallas_rows_write): the
+    old rows are already in hand (the phase-1 table gather and the moment
+    gather), so each touched row's complete new contents are computed in
+    XLA and the kernel issues ONE write DMA per row — half the DMA issues
+    of a read-modify-write, and the kernel is scalar-issue-bound
+    (docs/perf_notes.md).
 
     Exactness: colliding logical ids within a physical row occupy disjoint
     lanes (same lane would mean the same logical id, which rep masks), so
@@ -487,11 +492,20 @@ def two_phase_sparse_adam_unique(
         )
         acc_mask = jnp.zeros((Kp, row_width), jnp.float32).at[pinv].add(own)
         if use_pallas:
-            from ..ops.pallas_scatter import pallas_rows_update
+            from ..ops.pallas_scatter import pallas_rows_write
 
-            table, monu = pallas_rows_update(
-                (table, state.monu), pids, (acc_t, acc_vals),
-                modes=("add", "set"), masks=(None, acc_mask),
+            assert n_real is not None, "write-only kernel needs n_real"
+            if sup is None:
+                sup = jnp.take(
+                    table, flat_ids // P if P > 1 else flat_ids, axis=0
+                )
+            base_t = jnp.zeros(
+                (Kp, row_width), table.dtype).at[pinv].set(sup)
+            base_c = jnp.zeros(
+                (Kp, row_width), jnp.float32).at[pinv].set(sup_c)
+            table, monu = pallas_rows_write(
+                (table, state.monu), pids,
+                (base_t + acc_t, jnp.where(acc_mask > 0, acc_vals, base_c)),
                 n_real=n_real, chunk=min(chunk, Kp), interpret=interpret,
             )
         else:
@@ -519,10 +533,25 @@ def two_phase_sparse_adam_unique(
         return table, SparseAdamFusedState(monu=monu, count=count)
     acc_mu, acc_nu = acc(d_mu, row_width), acc(d_nu, row_width)
     if use_pallas:
-        from ..ops.pallas_scatter import pallas_rows_add
+        from ..ops.pallas_scatter import pallas_rows_write
 
-        table, mu, nu = pallas_rows_add(
-            (table, state.mu, state.nu), pids, (acc_t, acc_mu, acc_nu),
+        assert n_real is not None, "write-only kernel needs n_real"
+        phys = flat_ids // P if P > 1 else flat_ids
+        if sup is None:
+            sup = jnp.take(table, phys, axis=0)
+        # the moment super-row takes CSE with gather_rows' internal takes
+        sup_mu = jnp.take(state.mu, phys, axis=0)
+        sup_nu = jnp.take(state.nu, phys, axis=0)
+        base_t = jnp.zeros((Kp, row_width), table.dtype).at[pinv].set(sup)
+        base_mu = jnp.zeros((Kp, row_width), mdt).at[pinv].set(sup_mu)
+        base_nu = jnp.zeros((Kp, row_width), mdt).at[pinv].set(sup_nu)
+        table, mu, nu = pallas_rows_write(
+            (table, state.mu, state.nu), pids,
+            (
+                base_t + acc_t,
+                (base_mu.astype(jnp.float32) + acc_mu).astype(mdt),
+                (base_nu.astype(jnp.float32) + acc_nu).astype(mdt),
+            ),
             n_real=n_real, chunk=min(chunk, Kp), interpret=interpret,
         )
     else:

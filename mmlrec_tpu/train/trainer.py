@@ -457,7 +457,7 @@ class Trainer:
         return total, (data_loss, new_stats, probs)
 
     def _step_body_two_phase(self, state, batch):
-        from .sparse_embedding import gather_rows, two_phase_sparse_adam
+        from .sparse_embedding import two_phase_sparse_adam
 
         params, batch_stats, opt_state, rng = (
             state["params"],
@@ -470,9 +470,22 @@ class Trainer:
         B, F = ids.shape
         rest, table = self._without_table(params)
         flat_ids = (ids + self._fused_offsets[None, :]).reshape(-1)
-        rows = gather_rows(
-            table, flat_ids, self._emb_dim, self._emb_pack_factor
-        ).reshape(B, F, self._emb_dim)
+        P = self._emb_pack_factor
+        # keep the phase-1 SUPER rows in hand: the write-only pallas update
+        # reuses them as the old-row values (same take XLA would CSE, made
+        # explicit), and the logical rows derive from them exactly as in
+        # gather_rows
+        if P > 1:
+            sup = jnp.take(table, flat_ids // P, axis=0)
+            sub = jax.nn.one_hot(flat_ids % P, P, dtype=table.dtype)
+            rows = jnp.einsum(
+                "kp,kpd->kd", sub,
+                sup.reshape(-1, P, self._emb_dim),
+            )
+        else:
+            sup = jnp.take(table, flat_ids, axis=0)
+            rows = sup
+        rows = rows.reshape(B, F, self._emb_dim)
         (total_loss, (data_loss, new_stats, probs)), (g_rest, g_rows) = (
             jax.value_and_grad(
                 self._loss_terms_injected, argnums=(0, 2), has_aux=True
@@ -496,6 +509,7 @@ class Trainer:
                 use_pallas=self.table_update == "pallas",
                 interpret=self._pallas_interpret,
                 n_real=nuniq,
+                sup=sup,
             )
         else:
             new_table, new_table_opt = two_phase_sparse_adam(

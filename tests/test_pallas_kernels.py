@@ -123,3 +123,33 @@ def test_pallas_rows_add_bf16_storage():
         np.asarray(got[untouched]).astype(np.float32),
         np.asarray(nu[untouched]).astype(np.float32),
     )
+
+
+def test_pallas_rows_write_sets_rows_and_skips_pads():
+    from mmlrec_tpu.ops.pallas_scatter import pallas_rows_write
+
+    V, D, K = 64, 128, 16
+    rng = np.random.RandomState(2)
+    real = rng.choice(V, size=10, replace=False).astype(np.int32)
+    pads = np.setdiff1d(np.arange(V), real)[: K - 10].astype(np.int32)
+    ids = jnp.asarray(np.concatenate([np.sort(real), pads]))
+    table = jnp.asarray(rng.rand(V, D).astype(np.float32))
+    monu = jnp.asarray(rng.rand(V, D).astype(np.float32))
+    vals_t = jnp.asarray(rng.randn(K, D).astype(np.float32))
+    vals_m = jnp.asarray(rng.randn(K, D).astype(np.float32))
+    n_real = jnp.asarray([10], jnp.int32)
+    got_t, got_m = pallas_rows_write(
+        (table, monu), ids, (vals_t, vals_m), n_real=n_real, chunk=4,
+        interpret=True,
+    )
+    # written rows take the new values (chunks 0-1 full, chunk 2 boundary)
+    np.testing.assert_allclose(
+        np.asarray(got_t[np.sort(real)]), np.asarray(vals_t[:10]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got_m[np.sort(real)]), np.asarray(vals_m[:10]), rtol=1e-6)
+    # pad rows (slots >= n_real) keep their previous contents bit-exactly
+    untouched = np.setdiff1d(np.arange(V), real)
+    np.testing.assert_array_equal(
+        np.asarray(got_t[untouched]), np.asarray(table[untouched]))
+    np.testing.assert_array_equal(
+        np.asarray(got_m[untouched]), np.asarray(monu[untouched]))

@@ -271,7 +271,8 @@ def _unique_case(mdt=jnp.float32, use_pallas=False):
     flat_ids = np.asarray([8, 9, 8, 3, 21, 9, 14, 3, 30, 21, 2, 8], np.int64)
     g_rows = jnp.asarray(rng.normal(size=(K, D)), jnp.float32)
     inv, rep = batch_dedup_metadata(flat_ids[None, :])
-    pids, pinv, _ = batch_phys_metadata(flat_ids[None, :], P, V // P, chunk=4)
+    pids, pinv, nuniq = batch_phys_metadata(flat_ids[None, :], P, V // P,
+                                            chunk=4)
     state0 = init_sparse_adam(packed, dtype=mdt)
     lr = 0.05
     base_t, base_s = two_phase_sparse_adam(
@@ -282,6 +283,7 @@ def _unique_case(mdt=jnp.float32, use_pallas=False):
         packed, g_rows, jnp.asarray(flat_ids, jnp.int32), jnp.asarray(inv[0]),
         jnp.asarray(rep[0]), jnp.asarray(pids[0]), jnp.asarray(pinv[0]),
         state0, lr=lr, pack_factor=P, use_pallas=use_pallas, interpret=True,
+        n_real=jnp.asarray(nuniq[0]),
     )
     return (base_t, base_s), (uniq_t, uniq_s)
 
@@ -454,7 +456,8 @@ def test_two_phase_packed_moments_matches_baseline():
     packed_tab = jnp.asarray(rng.normal(size=(V // P, P * D)), jnp.float32)
     flat_ids = np.asarray([8, 9, 8, 3, 21, 9, 14, 3, 30, 21, 2, 8], np.int64)
     inv, rep = batch_dedup_metadata(flat_ids[None, :])
-    pids, pinv, _ = batch_phys_metadata(flat_ids[None, :], P, V // P, chunk=4)
+    pids, pinv, nuniq = batch_phys_metadata(flat_ids[None, :], P, V // P,
+                                            chunk=4)
     args = (jnp.asarray(flat_ids, jnp.int32), jnp.asarray(inv[0]),
             jnp.asarray(rep[0]))
     uargs = args[:1] + (args[1], args[2], jnp.asarray(pids[0]),
@@ -470,7 +473,8 @@ def test_two_phase_packed_moments_matches_baseline():
                 bt, g, *args, bs, lr=lr, pack_factor=P)
             ut, us = two_phase_sparse_adam_unique(
                 ut, g, *uargs, us, lr=lr, pack_factor=P,
-                use_pallas=use_pallas, interpret=True)
+                use_pallas=use_pallas, interpret=True,
+                n_real=jnp.asarray(nuniq[0]))
         assert isinstance(us, SparseAdamPackedState)
         np.testing.assert_allclose(np.asarray(ut), np.asarray(bt), atol=2e-3)
         mu_p, nu_p = unpack_monu(us.monu)
