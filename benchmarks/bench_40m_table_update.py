@@ -14,6 +14,7 @@ rows), VOCAB_PER_FEATURE (default 2_500_000).
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -97,6 +98,28 @@ def run(mode: str, vocab_per_feature: int = VOCAB, n_sparse: int = 16,
 
     step = trainer._make_train_step()
 
+    # SCAN_STEPS=N runs N train steps per dispatch via lax.scan: the
+    # no-op-step probe (probe_40m_step_stages.py) measured a ~6.3 ms
+    # PER-DISPATCH floor when the donated state is ~10 GB, so amortizing
+    # dispatches is worth more than any kernel work at this scale.
+    scan_n = int(os.environ.get("SCAN_STEPS", "0"))
+    if scan_n:
+        import jax as _jax
+
+        def body(state, _):
+            state, total, dl, probs = trainer._step_body(state, batch)
+            return state, total
+
+        @functools.partial(_jax.jit, donate_argnums=(0,))
+        def scan_step(state):
+            return _jax.lax.scan(body, state, None, length=scan_n)
+
+        base_step = step
+
+        def step(state, batch_):
+            state, totals = scan_step(state)
+            return state, totals[-1], None, None
+
     def chain_sync(s):
         leaf = s["params"]["embeddings"]["fused"]["table"]
         return float(np.asarray(leaf[(0,) * leaf.ndim]))
@@ -108,13 +131,14 @@ def run(mode: str, vocab_per_feature: int = VOCAB, n_sparse: int = 16,
           flush=True)
 
     iters = 10
+    per_call = scan_n if scan_n else 1
     best = float("inf")
     for r in range(5):
         t0 = time.perf_counter()
         for _ in range(iters):
             state, *_ = step(state, batch)
         chain_sync(state)
-        dt = (time.perf_counter() - t0) / iters
+        dt = (time.perf_counter() - t0) / (iters * per_call)
         best = min(best, dt)
         print(f"[{mode}] round {r}: {dt*1e3:.1f} ms/step", flush=True)
 

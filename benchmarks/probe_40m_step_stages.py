@@ -100,6 +100,11 @@ def main(vocab_per_feature=2_500_000, n_sparse=16, emb_dim=32, batch_size=4096):
     def make_step(stage):
         def step(state):
             rng_key, new_rng = jax.random.split(state["rng"])
+            if stage == -3:
+                # NOTHING: donated state in -> out.  If this costs ~ms, the
+                # backend charges a floor per donated-10GB-state dispatch
+                # and the light stages below are floor-bound, not work-bound.
+                return dict(state, rng=new_rng), jnp.float32(0)
             if stage == -2:
                 # gather+extract only, in the same donated-step shape
                 params = state["params"]
@@ -185,9 +190,14 @@ def main(vocab_per_feature=2_500_000, n_sparse=16, emb_dim=32, batch_size=4096):
         return float(np.asarray(total))
 
     results = {}
-    for stage, name in [(-2, "Sg gather-only"), (-1, "Sn fwd+bwd nogather"),
-                        (0, "S0 fwd+bwd"), (1, "S1 +rest-adam"),
-                        (2, "S2 +opt-prep"), (3, "S3 full")]:
+    all_stages = [(-3, "Sf noop"), (-2, "Sg gather-only"),
+                  (-1, "Sn fwd+bwd nogather"), (0, "S0 fwd+bwd"),
+                  (1, "S1 +rest-adam"), (2, "S2 +opt-prep"), (3, "S3 full")]
+    sel = os.environ.get("STAGES")
+    if sel:
+        want = set(int(s) for s in sel.split(","))
+        all_stages = [(s, n) for s, n in all_stages if s in want]
+    for stage, name in all_stages:
         step = make_step(stage)
         state = {
             "params": jax.tree_util.tree_map(jnp.copy, params0),

@@ -23,6 +23,7 @@ TPU-native replacement for the reference's ``BaseModel`` fit loop
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Any, Dict, List, Optional, Tuple
@@ -208,6 +209,12 @@ class Trainer:
                 "two_phase_embedding is incompatible with per-task gradient "
                 "methods (they need whole-param task gradients)"
             )
+        # scan_steps: run N train steps per dispatch via lax.scan on the
+        # device-data fast path (int chunk size; true = whole epoch).  The
+        # per-dispatch floor scales with donated state size, so this is the
+        # dominant win at production vocabularies (docs/perf_notes.md).
+        raw_scan = mc.extra.get("scan_steps", 0)
+        self._scan_steps = -1 if raw_scan is True else int(raw_scan or 0)
         self._tx_wrapped = False
 
     # ------------------------------------------------------------------
@@ -751,35 +758,75 @@ class Trainer:
             for a in dedup2d
         )
 
+    def _gather_step_body(self, state, staged, idx2d, w2d, dedup2d=None):
+        steps, bs = idx2d.shape
+        s = state["epoch_step"] % steps
+        idx = jax.lax.dynamic_slice(idx2d, (s, 0), (1, bs))[0]
+        w = jax.lax.dynamic_slice(w2d, (s, 0), (1, bs))[0]
+        rows = jnp.take(staged, idx, axis=0)
+        batch = self._split_staged(rows, w) + self._slice_dedup(dedup2d, s)
+        new_state, tl, dl, probs = self._step_body(state, batch)
+        new_state["epoch_step"] = state["epoch_step"] + 1
+        return new_state, tl, dl, probs
+
+    def _slice_step_body(self, batch_size, state, staged, starts, w2d,
+                         dedup2d=None):
+        steps = starts.shape[0]
+        s = state["epoch_step"] % steps
+        start = jax.lax.dynamic_slice(starts, (s,), (1,))[0]
+        w = jax.lax.dynamic_slice(w2d, (s, 0), (1, batch_size))[0]
+        rows = jax.lax.dynamic_slice(
+            staged, (start, 0), (batch_size, staged.shape[1])
+        )
+        batch = self._split_staged(rows, w) + self._slice_dedup(dedup2d, s)
+        new_state, tl, dl, probs = self._step_body(state, batch)
+        new_state["epoch_step"] = state["epoch_step"] + 1
+        return new_state, tl, dl, probs
+
     def _make_gather_step(self):
         def gather_step(state, staged, idx2d, w2d, dedup2d=None):
-            steps, bs = idx2d.shape
-            s = state["epoch_step"] % steps
-            idx = jax.lax.dynamic_slice(idx2d, (s, 0), (1, bs))[0]
-            w = jax.lax.dynamic_slice(w2d, (s, 0), (1, bs))[0]
-            rows = jnp.take(staged, idx, axis=0)
-            batch = self._split_staged(rows, w) + self._slice_dedup(dedup2d, s)
-            new_state, tl, dl, probs = self._step_body(state, batch)
-            new_state["epoch_step"] = state["epoch_step"] + 1
-            return new_state, tl, dl, probs
+            return self._gather_step_body(state, staged, idx2d, w2d, dedup2d)
 
         return self._cached(
             "gather_step", lambda: jax.jit(gather_step, donate_argnums=self._donate)
         )
 
+    def _make_scan_runner(self, kind: str, batch_size: int, length: int):
+        """``length`` train steps in ONE dispatch via lax.scan.
+
+        The per-dispatch cost on this backend scales with the donated state
+        size (a NO-OP state->state step with a 10 GB table+moments state
+        measured ~6.3 ms, probe_40m_step_stages.py), so at production
+        vocabularies amortizing dispatches beats any in-step optimization:
+        the 40M x 32 pallas step went 9.3 -> 7.0 ms/step with a 16-step
+        scan.  Enabled by model_config.extra["scan_steps"] (int chunk, or
+        true = whole epoch); numerics are the per-step path's exactly — the
+        body IS the per-step program.
+        """
+        body_fn = (
+            functools.partial(self._slice_step_body, batch_size)
+            if kind == "slice"
+            else self._gather_step_body
+        )
+
+        def runner(state, staged, arg, w2d, dedup2d=None):
+            def body(st, _):
+                st, tl, dl, probs = body_fn(st, staged, arg, w2d, dedup2d)
+                return st, (tl, probs)
+
+            state, (tls, probs) = jax.lax.scan(
+                body, state, None, length=length)
+            return state, tls, probs
+
+        return self._cached(
+            f"scan_{kind}_{batch_size}_{length}",
+            lambda: jax.jit(runner, donate_argnums=self._donate),
+        )
+
     def _make_slice_step(self, batch_size: int):
         def slice_step(state, staged, starts, w2d, dedup2d=None):
-            steps = starts.shape[0]
-            s = state["epoch_step"] % steps
-            start = jax.lax.dynamic_slice(starts, (s,), (1,))[0]
-            w = jax.lax.dynamic_slice(w2d, (s, 0), (1, batch_size))[0]
-            rows = jax.lax.dynamic_slice(
-                staged, (start, 0), (batch_size, staged.shape[1])
-            )
-            batch = self._split_staged(rows, w) + self._slice_dedup(dedup2d, s)
-            new_state, tl, dl, probs = self._step_body(state, batch)
-            new_state["epoch_step"] = state["epoch_step"] + 1
-            return new_state, tl, dl, probs
+            return self._slice_step_body(
+                batch_size, state, staged, starts, w2d, dedup2d)
 
         return self._cached(
             f"slice_step_{batch_size}",
@@ -1072,13 +1119,32 @@ class Trainer:
                         dedup_dev = tuple(
                             jnp.asarray(a[batch_order]) for a in block_dedup
                         )
-                    for s in range(steps_this_epoch):
-                        state, total_loss, data_loss, probs = step_dev(
-                            state, staged, starts_dev, w2d_dev, dedup_dev
-                        )
-                        loss_refs.append(total_loss)
-                        if self.metric_fns:
-                            prob_refs.append(probs)
+                    if self._scan_steps:
+                        pos = 0
+                        while pos < steps_this_epoch:
+                            L = (
+                                steps_this_epoch - pos
+                                if self._scan_steps < 0
+                                else min(self._scan_steps,
+                                         steps_this_epoch - pos)
+                            )
+                            runner = self._make_scan_runner(
+                                "slice", batch_size, L)
+                            state, tls, probs = runner(
+                                state, staged, starts_dev, w2d_dev, dedup_dev)
+                            loss_refs.append(tls)
+                            if self.metric_fns:
+                                prob_refs.append(
+                                    probs.reshape(-1, probs.shape[-1]))
+                            pos += L
+                    else:
+                        for s in range(steps_this_epoch):
+                            state, total_loss, data_loss, probs = step_dev(
+                                state, staged, starts_dev, w2d_dev, dedup_dev
+                            )
+                            loss_refs.append(total_loss)
+                            if self.metric_fns:
+                                prob_refs.append(probs)
                     valid = block_w[batch_order].reshape(-1) > 0
                     host_rows = (
                         np.arange(steps_per_epoch * batch_size)
@@ -1111,19 +1177,40 @@ class Trainer:
                         dedup_dev = tuple(
                             jnp.asarray(a) for a in self._step_metadata(flat)
                         )
-                    for s in range(steps_this_epoch):
-                        state, total_loss, data_loss, probs = step_dev(
-                            state, staged, idx2d_dev, w2d_dev, dedup_dev
-                        )
-                        loss_refs.append(total_loss)
-                        if self.metric_fns:
-                            prob_refs.append(probs)
+                    if self._scan_steps:
+                        pos = 0
+                        while pos < steps_this_epoch:
+                            L = (
+                                steps_this_epoch - pos
+                                if self._scan_steps < 0
+                                else min(self._scan_steps,
+                                         steps_this_epoch - pos)
+                            )
+                            runner = self._make_scan_runner(
+                                "gather", batch_size, L)
+                            state, tls, probs = runner(
+                                state, staged, idx2d_dev, w2d_dev, dedup_dev)
+                            loss_refs.append(tls)
+                            if self.metric_fns:
+                                prob_refs.append(
+                                    probs.reshape(-1, probs.shape[-1]))
+                            pos += L
+                    else:
+                        for s in range(steps_this_epoch):
+                            state, total_loss, data_loss, probs = step_dev(
+                                state, staged, idx2d_dev, w2d_dev, dedup_dev
+                            )
+                            loss_refs.append(total_loss)
+                            if self.metric_fns:
+                                prob_refs.append(probs)
                     valid = None
                     host_rows = idx_full[:take]
 
                 total_steps += steps_this_epoch
                 examples_seen += take
-                total_loss_epoch = float(np.sum(np.asarray(jnp.stack(loss_refs))))
+                total_loss_epoch = float(np.sum(np.asarray(
+                    jnp.concatenate([jnp.atleast_1d(l) for l in loss_refs])
+                )))
                 if self.metric_fns and prob_refs:
                     probs_flat = np.asarray(jnp.concatenate(prob_refs, axis=0))
                     if valid is not None:

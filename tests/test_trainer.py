@@ -118,3 +118,54 @@ def test_seed_determinism():
     r1 = _fit(epochs=1, n=600)[1].history[0]["loss"]
     r2 = _fit(epochs=1, n=600)[1].history[0]["loss"]
     assert r1 == r2
+
+
+def test_scan_steps_matches_per_step_path():
+    """scan_steps (N train steps per dispatch) reproduces the per-step path
+    EXACTLY — the scan body is the identical per-step program — in both
+    device-data modes, including a chunk size that doesn't divide the epoch."""
+    import numpy as np
+
+    from mmlrec_tpu.models import get_model
+    from mmlrec_tpu.synthetic import make_config, make_data
+
+    for shuffle in (True, "block"):
+        tables = {}
+        for scan in (0, 3, True):
+            kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+                      n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,),
+                      epochs=2, batch_size=128, lr=3e-3)
+            if scan:
+                kw["scan_steps"] = scan
+            cfg = make_config(**kw)
+            layout, x, y, _ = make_data(cfg, n=900, seed=0)  # 8 steps/epoch
+            tr = Trainer(get_model("sharedbottom", layout, cfg), seed=0)
+            tr.compile(metrics=["auc"])
+            tr.fit(x, y, batch_size=128, epochs=2, shuffle=shuffle, verbose=0)
+            tables[scan] = np.asarray(
+                tr.variables["params"]["embeddings"]["fused"]["table"])
+        np.testing.assert_array_equal(tables[3], tables[0])
+        np.testing.assert_array_equal(tables[True], tables[0])
+
+
+def test_scan_steps_two_phase_pallas():
+    import numpy as np
+
+    from mmlrec_tpu.models import get_model
+    from mmlrec_tpu.synthetic import make_config, make_data
+
+    tables = {}
+    for scan in (0, 4):
+        kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+                  n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,), epochs=2,
+                  batch_size=128, lr=3e-3, two_phase_embedding=True,
+                  table_update="pallas", vocab=400)
+        if scan:
+            kw["scan_steps"] = scan
+        cfg = make_config(**kw)
+        layout, x, y, _ = make_data(cfg, n=800, seed=0, vocab=400)
+        tr = Trainer(get_model("sharedbottom", layout, cfg), seed=0).compile()
+        tr.fit(x, y, batch_size=128, epochs=2, verbose=0)
+        tables[scan] = np.asarray(
+            tr.variables["params"]["embeddings"]["fused"]["table"])
+    np.testing.assert_array_equal(tables[4], tables[0])
