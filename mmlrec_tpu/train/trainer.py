@@ -211,10 +211,23 @@ class Trainer:
             )
         # scan_steps: run N train steps per dispatch via lax.scan on the
         # device-data fast path (int chunk size; true = whole epoch).  The
-        # per-dispatch floor scales with donated state size, so this is the
-        # dominant win at production vocabularies (docs/perf_notes.md).
-        raw_scan = mc.extra.get("scan_steps", 0)
-        self._scan_steps = -1 if raw_scan is True else int(raw_scan or 0)
+        # per-dispatch floor scales with donated state size (a no-op step
+        # with a 10 GB state measured ~6.3 ms), so this is the dominant win
+        # at production vocabularies (docs/perf_notes.md).  Unset = AUTO:
+        # 16-step chunks when the fused table spans >= 256 MB (numerics are
+        # bitwise identical to the per-step path — the scan body IS the
+        # per-step program); explicit 0/false disables.
+        raw_scan = mc.extra.get("scan_steps", None)
+        if raw_scan is None:
+            if self.sparse_embedding_update or self.two_phase_embedding:
+                P = self._emb_pack_factor
+                width = 128 if P > 1 else self._emb_dim
+                table_bytes = self._emb_phys_rows_static() * width * 4
+            else:
+                table_bytes = 0
+            self._scan_steps = 16 if table_bytes >= (1 << 28) else 0
+        else:
+            self._scan_steps = -1 if raw_scan is True else int(raw_scan or 0)
         self._tx_wrapped = False
 
     # ------------------------------------------------------------------
@@ -734,6 +747,18 @@ class Trainer:
     # (synchronous constant transfer; docs/perf_notes.md).  The step index
     # therefore lives in the train state as a device counter and the epoch's
     # shuffled indices/weights are transferred once per epoch.
+
+    def _emb_phys_rows_static(self) -> int:
+        """Physical row count of the fused table (mirrors
+        FusedEmbedding.setup), independent of table_update mode."""
+        total = int(
+            sum(s.feature.vocabulary_size for s in self.layout.sparse_slots)
+        )
+        rows = -(-max(total, 1) // 128) * 128
+        P = getattr(self, "_emb_pack_factor", 1)
+        if P > 1:
+            rows = -(-rows // (P * 128)) * (P * 128)
+        return rows // P
 
     def _step_metadata(self, flat: np.ndarray) -> tuple:
         """Per-batch host metadata stacks for flat [steps, K] logical ids:
