@@ -62,7 +62,7 @@ def main(vocab_per_feature=2_500_000, n_sparse=16, emb_dim=32, batch_size=4096):
     offs = np.asarray(trainer._fused_offsets)[None, :]
     flat_np = (ids_np.astype(np.int64) + offs).reshape(1, -1)
     meta = trainer._step_metadata(flat_np)
-    inv, rep, pids, pinv, nuniq = (jnp.asarray(a[0]) for a in meta)
+    inv, rep, pids, pinv, nuniq, prep = (jnp.asarray(a[0]) for a in meta)
     weight = jnp.ones((batch_size,), jnp.float32)
     batch7 = (ids, dense, y, None, weight, inv, rep)
     P = trainer._emb_pack_factor
@@ -177,7 +177,7 @@ def main(vocab_per_feature=2_500_000, n_sparse=16, emb_dim=32, batch_size=4096):
                 new_table, new_opt = two_phase_sparse_adam_unique(
                     table, g, flat, inv, rep, pids, pinv, st, lr=lr,
                     pack_factor=P, use_pallas=True, interpret=False,
-                    n_real=nuniq, sup=sup)
+                    n_real=nuniq, sup=sup, prep=prep)
                 new_state["params"] = trainer._with_table(
                     new_state["params"] if stage >= 1 else rest, new_table)
                 new_state["table_opt"] = new_opt

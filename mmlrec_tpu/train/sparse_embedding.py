@@ -227,6 +227,7 @@ def batch_step_metadata(
         pids = np.empty((steps, Kp), np.int32)
         pinv = np.empty((steps, K), np.int32)
         nuniq = np.empty((steps, 1), np.int32)
+        prep = np.empty((steps, K), np.float32)
     grp_all = np.cumsum(newv, axis=1, dtype=np.int32) - 1
     for b in range(steps):
         ob, nb = order[b], newv[b]
@@ -239,6 +240,7 @@ def batch_step_metadata(
             U = len(u)
             pids[b, :U] = u
             pinv[b, ob] = pgrp[b]
+            prep[b, ob] = pnew[b]
             nuniq[b, 0] = U
             if U < Kp:
                 # distinct untouched rows at the TAIL (see
@@ -249,7 +251,7 @@ def batch_step_metadata(
                 present[u[u <= Kp]] = True
                 pids[b, U:] = np.flatnonzero(~present)[: Kp - U]
     if want_phys:
-        return inv, rep, pids, pinv, nuniq
+        return inv, rep, pids, pinv, nuniq, prep
     return inv, rep
 
 
@@ -278,7 +280,10 @@ def batch_phys_metadata(
       unmasked deltas and are rewritten unchanged, and the kernel can skip
       them entirely via its n_real argument);
     * pinv[b, j]: the slot of flat_ids[b, j]'s physical row within pids[b];
-    * nuniq[b, 0]: the unique count — slots >= nuniq are padding.
+    * nuniq[b, 0]: the unique count — slots >= nuniq are padding;
+    * prep[b, j]: 1.0 iff j is the FIRST occurrence of its PHYSICAL row —
+      the updater folds each touched row's old contents into its
+      accumulation buffers through exactly one contributor with this mask.
 
     The list is NOT globally sorted (pads sit at the tail whatever their
     value), so callers must not claim ``indices_are_sorted`` to XLA; the
@@ -289,7 +294,7 @@ def batch_phys_metadata(
     """
     return batch_step_metadata(
         flat_ids, pack_factor, n_phys_rows, chunk=chunk
-    )[2:]
+    )[2:5]
 
 
 def gather_rows(table: jnp.ndarray, flat_ids: jnp.ndarray, dim: int, pack_factor: int):
@@ -378,6 +383,7 @@ def two_phase_sparse_adam_unique(
     chunk: int = 256,
     n_real=None,  # [1] int32: pids[n_real:] are padding (kernel skips them)
     sup=None,  # [K, W] phase-1 TABLE super-rows (reused; else re-gathered)
+    prep=None,  # [K] 1.0 at each PHYSICAL row's first occurrence
 ):
     """two_phase_sparse_adam with duplicate-free big-array updates.
 
@@ -457,12 +463,15 @@ def two_phase_sparse_adam_unique(
         jax.nn.one_hot(flat_ids % P, P, dtype=jnp.float32) if P > 1 else None
     )
 
-    def acc(delta, width):
+    def acc_contrib(delta):
+        """[K, dim] logical delta -> [K, W] physical-lane contribution."""
         if P > 1:
-            wide = jnp.einsum("kp,kd->kpd", sub, delta).reshape(K, P * dim)
-        else:
-            wide = delta
-        return jnp.zeros((Kp, width), jnp.float32).at[pinv].add(wide)
+            return jnp.einsum("kp,kd->kpd", sub, delta).reshape(K, P * dim)
+        return delta
+
+    def acc(delta, width):
+        return jnp.zeros((Kp, width), jnp.float32).at[pinv].add(
+            acc_contrib(delta))
 
     acc_t = acc(d_table, row_width)
     if packed:
@@ -495,17 +504,28 @@ def two_phase_sparse_adam_unique(
             from ..ops.pallas_scatter import pallas_rows_write
 
             assert n_real is not None, "write-only kernel needs n_real"
+            assert prep is not None, "pallas path needs the prep mask"
             if sup is None:
                 sup = jnp.take(
                     table, flat_ids // P if P > 1 else flat_ids, axis=0
                 )
-            base_t = jnp.zeros(
-                (Kp, row_width), table.dtype).at[pinv].set(sup)
-            base_c = jnp.zeros(
-                (Kp, row_width), jnp.float32).at[pinv].set(sup_c)
+            # ONE wide f32 scatter-add builds new-table-rows || own-mask:
+            # the prep (physical-first) contributor folds the old row in,
+            # so no separate base set-scatter exists.  Exact: each lane
+            # sums at most {owner delta, prep old} and f32 addition is
+            # commutative.  The monu base rides a GATHER (overlappable)
+            # instead of a scatter.
+            pr = prep[:, None]
+            wide_t = acc_contrib(d_table)
+            accf = jnp.zeros((Kp, 2 * row_width), jnp.float32).at[pinv].add(
+                jnp.concatenate([wide_t + sup * pr, own], axis=1)
+            )
+            vals_t = accf[:, :row_width]
+            mask_u = accf[:, row_width:]
+            base_c = jnp.take(state.monu, pids, axis=0)
             table, monu = pallas_rows_write(
                 (table, state.monu), pids,
-                (base_t + acc_t, jnp.where(acc_mask > 0, acc_vals, base_c)),
+                (vals_t, jnp.where(mask_u > 0, acc_vals, base_c)),
                 n_real=n_real, chunk=min(chunk, Kp), interpret=interpret,
             )
         else:
@@ -531,31 +551,42 @@ def two_phase_sparse_adam_unique(
             table = table.at[pids].add(acc_t, **kw)
             monu = state.monu.at[pids].add(acc_monu.astype(mdt), **kw)
         return table, SparseAdamFusedState(monu=monu, count=count)
-    acc_mu, acc_nu = acc(d_mu, row_width), acc(d_nu, row_width)
     if use_pallas:
         from ..ops.pallas_scatter import pallas_rows_write
 
         assert n_real is not None, "write-only kernel needs n_real"
+        assert prep is not None, "pallas path needs the prep mask"
         phys = flat_ids // P if P > 1 else flat_ids
         if sup is None:
             sup = jnp.take(table, phys, axis=0)
         # the moment super-row takes CSE with gather_rows' internal takes
-        sup_mu = jnp.take(state.mu, phys, axis=0)
-        sup_nu = jnp.take(state.nu, phys, axis=0)
-        base_t = jnp.zeros((Kp, row_width), table.dtype).at[pinv].set(sup)
-        base_mu = jnp.zeros((Kp, row_width), mdt).at[pinv].set(sup_mu)
-        base_nu = jnp.zeros((Kp, row_width), mdt).at[pinv].set(sup_nu)
+        sup_mu = jnp.take(state.mu, phys, axis=0).astype(jnp.float32)
+        sup_nu = jnp.take(state.nu, phys, axis=0).astype(jnp.float32)
+        # ONE wide scatter-add builds all three new-row buffers, with the
+        # prep contributor folding each old row in (see the packed branch)
+        pr = prep[:, None]
+        acc3 = jnp.zeros((Kp, 3 * row_width), jnp.float32).at[pinv].add(
+            jnp.concatenate(
+                [
+                    acc_contrib(d_table) + sup * pr,
+                    acc_contrib(d_mu) + sup_mu * pr,
+                    acc_contrib(d_nu) + sup_nu * pr,
+                ],
+                axis=1,
+            )
+        )
         table, mu, nu = pallas_rows_write(
             (table, state.mu, state.nu), pids,
             (
-                base_t + acc_t,
-                (base_mu.astype(jnp.float32) + acc_mu).astype(mdt),
-                (base_nu.astype(jnp.float32) + acc_nu).astype(mdt),
+                acc3[:, :row_width],
+                acc3[:, row_width:2 * row_width].astype(mdt),
+                acc3[:, 2 * row_width:].astype(mdt),
             ),
             n_real=n_real, chunk=min(chunk, Kp), interpret=interpret,
         )
     else:
         kw = dict(unique_indices=True)
+        acc_mu, acc_nu = acc(d_mu, row_width), acc(d_nu, row_width)
         table = table.at[pids].add(acc_t, **kw)
         mu = state.mu.at[pids].add(acc_mu.astype(mdt), **kw)
         nu = state.nu.at[pids].add(acc_nu.astype(mdt), **kw)

@@ -514,7 +514,8 @@ class Trainer:
         if self.table_update != "scatter":
             from .sparse_embedding import two_phase_sparse_adam_unique
 
-            pids, pinv, nuniq = batch[7], batch[8], batch[9]
+            pids, pinv, nuniq, prep = (
+                batch[7], batch[8], batch[9], batch[10])
             new_table, new_table_opt = two_phase_sparse_adam_unique(
                 table,
                 g_rows.reshape(B * F, self._emb_dim),
@@ -530,6 +531,7 @@ class Trainer:
                 interpret=self._pallas_interpret,
                 n_real=nuniq,
                 sup=sup,
+                prep=prep,
             )
         else:
             new_table, new_table_opt = two_phase_sparse_adam(

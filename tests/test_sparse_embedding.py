@@ -258,8 +258,7 @@ def test_batch_phys_metadata_needs_headroom():
 
 def _unique_case(mdt=jnp.float32, use_pallas=False):
     from mmlrec_tpu.train.sparse_embedding import (
-        batch_dedup_metadata,
-        batch_phys_metadata,
+        batch_step_metadata,
         two_phase_sparse_adam,
         two_phase_sparse_adam_unique,
     )
@@ -270,9 +269,8 @@ def _unique_case(mdt=jnp.float32, use_pallas=False):
     # duplicates AND a physical collision (ids 8, 9 share physical row 4)
     flat_ids = np.asarray([8, 9, 8, 3, 21, 9, 14, 3, 30, 21, 2, 8], np.int64)
     g_rows = jnp.asarray(rng.normal(size=(K, D)), jnp.float32)
-    inv, rep = batch_dedup_metadata(flat_ids[None, :])
-    pids, pinv, nuniq = batch_phys_metadata(flat_ids[None, :], P, V // P,
-                                            chunk=4)
+    inv, rep, pids, pinv, nuniq, prep = batch_step_metadata(
+        flat_ids[None, :], P, V // P, chunk=4)
     state0 = init_sparse_adam(packed, dtype=mdt)
     lr = 0.05
     base_t, base_s = two_phase_sparse_adam(
@@ -283,7 +281,7 @@ def _unique_case(mdt=jnp.float32, use_pallas=False):
         packed, g_rows, jnp.asarray(flat_ids, jnp.int32), jnp.asarray(inv[0]),
         jnp.asarray(rep[0]), jnp.asarray(pids[0]), jnp.asarray(pinv[0]),
         state0, lr=lr, pack_factor=P, use_pallas=use_pallas, interpret=True,
-        n_real=jnp.asarray(nuniq[0]),
+        n_real=jnp.asarray(nuniq[0]), prep=jnp.asarray(prep[0]),
     )
     return (base_t, base_s), (uniq_t, uniq_s)
 
@@ -444,8 +442,7 @@ def test_two_phase_packed_moments_matches_baseline():
     rounding.  Two chained steps exercise warm-moment gathers."""
     from mmlrec_tpu.train.sparse_embedding import (
         SparseAdamPackedState,
-        batch_dedup_metadata,
-        batch_phys_metadata,
+        batch_step_metadata,
         two_phase_sparse_adam,
         two_phase_sparse_adam_unique,
         unpack_monu,
@@ -455,9 +452,8 @@ def test_two_phase_packed_moments_matches_baseline():
     rng = np.random.default_rng(7)
     packed_tab = jnp.asarray(rng.normal(size=(V // P, P * D)), jnp.float32)
     flat_ids = np.asarray([8, 9, 8, 3, 21, 9, 14, 3, 30, 21, 2, 8], np.int64)
-    inv, rep = batch_dedup_metadata(flat_ids[None, :])
-    pids, pinv, nuniq = batch_phys_metadata(flat_ids[None, :], P, V // P,
-                                            chunk=4)
+    inv, rep, pids, pinv, nuniq, prep = batch_step_metadata(
+        flat_ids[None, :], P, V // P, chunk=4)
     args = (jnp.asarray(flat_ids, jnp.int32), jnp.asarray(inv[0]),
             jnp.asarray(rep[0]))
     uargs = args[:1] + (args[1], args[2], jnp.asarray(pids[0]),
@@ -474,7 +470,7 @@ def test_two_phase_packed_moments_matches_baseline():
             ut, us = two_phase_sparse_adam_unique(
                 ut, g, *uargs, us, lr=lr, pack_factor=P,
                 use_pallas=use_pallas, interpret=True,
-                n_real=jnp.asarray(nuniq[0]))
+                n_real=jnp.asarray(nuniq[0]), prep=jnp.asarray(prep[0]))
         assert isinstance(us, SparseAdamPackedState)
         np.testing.assert_allclose(np.asarray(ut), np.asarray(bt), atol=2e-3)
         mu_p, nu_p = unpack_monu(us.monu)
