@@ -78,12 +78,10 @@ def run(mode: str, vocab_per_feature: int = VOCAB, n_sparse: int = 16,
         "batch_stats": trainer.variables.get("batch_stats", {}),
         "opt_state": trainer.tx.init(trainer._without_table(params)[0]),
         "rng": jax.random.PRNGKey(1),
-        # mirrors Trainer.fit (fused_moments defaults OFF — measured slower)
+        # mirrors Trainer: pallas + bf16 -> (mu, nu) pairs packed into
+        # f32 lanes (Mosaic cannot row-slice bf16 HBM arrays)
         "table_opt": init_sparse_adam(
             table, dtype=MOMENT_DTYPE,
-            fused=os.environ.get("FUSED_MOMENTS") == "1" and mode != "scatter",
-            # mirrors Trainer: pallas + bf16 -> (mu, nu) pairs packed into
-            # f32 lanes (Mosaic cannot row-slice bf16 HBM arrays)
             packed=mode == "pallas" and MOMENT_DTYPE == "bfloat16",
         ),
     }

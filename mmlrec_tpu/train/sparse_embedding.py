@@ -41,18 +41,6 @@ class SparseAdamState(NamedTuple):
     count: jnp.ndarray  # scalar int32
 
 
-class SparseAdamFusedState(NamedTuple):
-    """Both Adam moments in ONE [V, 2W] array: mu in lanes [:W], nu in
-    lanes [W:].  The big-table update is DMA-issue-bound on this backend
-    (docs/perf_notes.md "Scatter cost isolation"), so halving the number of
-    moment rows touched (2 gathers + 2 scatters -> 1 + 1, or 4 row DMAs/id
-    -> 2 in the Pallas RMW kernel) is a direct win; the wider rows cost the
-    same bytes."""
-
-    monu: jnp.ndarray  # [V, 2 * W]
-    count: jnp.ndarray  # scalar int32
-
-
 class SparseAdamPackedState(NamedTuple):
     """Both bfloat16 Adam moments packed as (mu, nu) PAIRS into the f32
     lanes of ONE [V, W] container array: lane j holds bitcast((mu_j, nu_j)).
@@ -87,24 +75,19 @@ def pack_monu(mu_bf16: jnp.ndarray, nu_bf16: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def init_sparse_adam(table: jnp.ndarray, dtype=None, fused: bool = False,
-                     packed: bool = False):
+def init_sparse_adam(table: jnp.ndarray, dtype=None, packed: bool = False):
     """dtype: moment storage dtype (default = table dtype).  bfloat16 halves
     the moment HBM (the dominant state at production vocab — e.g. 5.1 GB
-    saved at 40M x 32 rows); update math stays f32.  fused=True stores both
-    moments side-by-side in one [V, 2W] array (SparseAdamFusedState; slow on
-    TPU — wide rows miss the fast DMA path).  packed=True stores both
-    moments as bf16 pairs inside f32 lanes (SparseAdamPackedState) — the
-    layout the pallas table_update uses for reduced-precision moments."""
+    saved at 40M x 32 rows); update math stays f32.  packed=True stores
+    both moments as bf16 pairs inside f32 lanes (SparseAdamPackedState) —
+    the layout the pallas table_update uses for reduced-precision moments.
+    (A side-by-side [V, 2W] "fused" layout was tried and REMOVED: 256-lane
+    rows fall off the fast DMA path, 2.25x slower end-to-end —
+    docs/perf_notes.md.)"""
     dt = dtype or table.dtype
     if packed:
         return SparseAdamPackedState(
             monu=jnp.zeros(table.shape, jnp.float32),
-            count=jnp.zeros((), jnp.int32),
-        )
-    if fused:
-        return SparseAdamFusedState(
-            monu=jnp.zeros((table.shape[0], 2 * table.shape[1]), dt),
             count=jnp.zeros((), jnp.int32),
         )
     return SparseAdamState(
@@ -406,15 +389,10 @@ def two_phase_sparse_adam_unique(
     dim = g_rows.shape[-1]
     K = g_rows.shape[0]
     P = pack_factor
-    fused = isinstance(state, SparseAdamFusedState)
     packed = isinstance(state, SparseAdamPackedState)
     count = state.count + 1
     t = count.astype(jnp.float32)
-    mdt = (
-        jnp.bfloat16
-        if packed
-        else (state.monu if fused else state.mu).dtype
-    )
+    mdt = jnp.bfloat16 if packed else state.mu.dtype
     g_sum = jnp.zeros_like(g_rows).at[inv].add(g_rows)
     if packed:
         # ONE gather of the f32 container rows carries both bf16 moments
@@ -430,20 +408,6 @@ def two_phase_sparse_adam_unique(
                 "kp,kpd->kd", sub_m, nu128.astype(jnp.float32).reshape(K, P, dim))
         else:
             mu_rows, nu_rows = mu128, nu128
-    elif fused:
-        # ONE gather for both moments: [K, 2W] super-rows, mu lanes [:W]
-        W = state.monu.shape[1] // 2
-        sup = jnp.take(
-            state.monu, flat_ids // P if P > 1 else flat_ids, axis=0
-        )
-        if P > 1:
-            sub_m = jax.nn.one_hot(flat_ids % P, P, dtype=state.monu.dtype)
-            mu_rows = jnp.einsum(
-                "kp,kpd->kd", sub_m, sup[:, :W].reshape(K, P, dim))
-            nu_rows = jnp.einsum(
-                "kp,kpd->kd", sub_m, sup[:, W:].reshape(K, P, dim))
-        else:
-            mu_rows, nu_rows = sup[:, :W], sup[:, W:]
     else:
         mu_rows = gather_rows(state.mu, flat_ids, dim, pack_factor)
         nu_rows = gather_rows(state.nu, flat_ids, dim, pack_factor)
@@ -536,21 +500,6 @@ def two_phase_sparse_adam_unique(
                 jnp.where(acc_mask > 0, acc_vals, old), **kw
             )
         return table, SparseAdamPackedState(monu=monu, count=count)
-    if fused:
-        acc_monu = jnp.concatenate(
-            [acc(d_mu, W), acc(d_nu, W)], axis=1)  # [Kp, 2W]
-        if use_pallas:
-            from ..ops.pallas_scatter import pallas_rows_add
-
-            table, monu = pallas_rows_add(
-                (table, state.monu), pids, (acc_t, acc_monu),
-                n_real=n_real, chunk=min(chunk, Kp), interpret=interpret,
-            )
-        else:
-            kw = dict(unique_indices=True)
-            table = table.at[pids].add(acc_t, **kw)
-            monu = state.monu.at[pids].add(acc_monu.astype(mdt), **kw)
-        return table, SparseAdamFusedState(monu=monu, count=count)
     if use_pallas:
         from ..ops.pallas_scatter import pallas_rows_write
 

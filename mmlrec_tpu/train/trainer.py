@@ -1027,19 +1027,6 @@ class Trainer:
                     params["embeddings"]["fused"]["table"],
                     # e.g. "bfloat16" halves moment HBM at production vocab
                     dtype=self.cfg.model_config.extra.get("table_opt_dtype"),
-                    # mu||nu side-by-side in one [V, 2W] array.  Default
-                    # OFF: measured 2.25x SLOWER end-to-end at 40M x 32 —
-                    # 256-lane rows fall off XLA's 128-lane fast gather/
-                    # scatter DMA path, and Mosaic cannot row-slice multi-
-                    # lane-tile arrays (docs/perf_notes.md).
-                    fused=(
-                        self.table_update != "scatter"
-                        and bool(
-                            self.cfg.model_config.extra.get(
-                                "fused_moments", False
-                            )
-                        )
-                    ),
                     packed=getattr(self, "_packed_moments", False),
                 )
         # two_phase_embedding composes with a mesh through GSPMD: the table

@@ -356,71 +356,6 @@ def test_trainer_table_update_validation():
         Trainer(get_model("sharedbottom", layout, cfg2), seed=0)
 
 
-def test_two_phase_unique_fused_moments():
-    """Fused mu||nu state matches the split-moment baseline exactly (f32),
-    for XLA-unique and pallas variants, packed layout with collisions."""
-    from mmlrec_tpu.train.sparse_embedding import (
-        SparseAdamFusedState,
-        batch_dedup_metadata,
-        batch_phys_metadata,
-        two_phase_sparse_adam,
-        two_phase_sparse_adam_unique,
-    )
-
-    V, D, P, K = 32, 4, 2, 12
-    rng = np.random.default_rng(3)
-    packed = jnp.asarray(rng.normal(size=(V // P, P * D)), jnp.float32)
-    flat_ids = np.asarray([8, 9, 8, 3, 21, 9, 14, 3, 30, 21, 2, 8], np.int64)
-    g_rows = jnp.asarray(rng.normal(size=(K, D)), jnp.float32)
-    inv, rep = batch_dedup_metadata(flat_ids[None, :])
-    pids, pinv, _ = batch_phys_metadata(flat_ids[None, :], P, V // P, chunk=4)
-    lr = 0.05
-    base_t, base_s = two_phase_sparse_adam(
-        packed, g_rows, jnp.asarray(flat_ids, jnp.int32), jnp.asarray(inv[0]),
-        jnp.asarray(rep[0]), init_sparse_adam(packed), lr=lr, pack_factor=P,
-    )
-    W = packed.shape[1]
-    for pallas in (False, True):
-        st0 = init_sparse_adam(packed, fused=True)
-        assert isinstance(st0, SparseAdamFusedState)
-        assert st0.monu.shape == (V // P, 2 * W)
-        ut, us = two_phase_sparse_adam_unique(
-            packed, g_rows, jnp.asarray(flat_ids, jnp.int32),
-            jnp.asarray(inv[0]), jnp.asarray(rep[0]), jnp.asarray(pids[0]),
-            jnp.asarray(pinv[0]), st0, lr=lr, pack_factor=P,
-            use_pallas=pallas, interpret=True,
-        )
-        np.testing.assert_allclose(np.asarray(ut), np.asarray(base_t),
-                                   rtol=1e-6, atol=1e-7)
-        np.testing.assert_allclose(np.asarray(us.monu[:, :W]),
-                                   np.asarray(base_s.mu), rtol=1e-6, atol=1e-7)
-        np.testing.assert_allclose(np.asarray(us.monu[:, W:]),
-                                   np.asarray(base_s.nu), rtol=1e-6, atol=1e-7)
-
-
-def test_trainer_fused_moments_state_and_opt_out():
-    kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
-              n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,), epochs=1,
-              batch_size=128, lr=3e-3, two_phase_embedding=True, vocab=400)
-    from mmlrec_tpu.train.sparse_embedding import (
-        SparseAdamFusedState,
-        SparseAdamState,
-    )
-
-    for extra, want in (
-        # default OFF: fused [V, 2W] rows measured slower on TPU (256-lane
-        # rows miss the fast DMA path; docs/perf_notes.md)
-        ({"table_update": "unique"}, SparseAdamState),
-        ({"table_update": "unique", "fused_moments": True}, SparseAdamFusedState),
-    ):
-        cfg = make_config(**kw, **extra)
-        layout, x, y, _ = make_data(cfg, n=400, seed=0, vocab=400)
-        model = get_model("sharedbottom", layout, cfg)
-        tr = Trainer(model, seed=0).compile()
-        tr.fit(x, y, batch_size=128, epochs=1, verbose=0)
-        assert isinstance(tr._train_state["table_opt"], want)
-
-
 def test_pack_unpack_monu_roundtrip():
     from mmlrec_tpu.train.sparse_embedding import pack_monu, unpack_monu
 
