@@ -8,9 +8,9 @@ windows vary 2-3x — this measures the REAL flagship-shape train step at
 
 Usage: python benchmarks/bench_40m_table_update.py [mode ...]
 (default: scatter pallas unique).  Env: MOMENT_DTYPE (default bfloat16 —
-NOTE the pallas mode requires float32 moments on real TPU: Mosaic rejects
-single-row DMA slices of bf16 HBM arrays, whose (8,128)(2,1) tiling packs
-rows), VOCAB_PER_FEATURE (default 2_500_000).
+the pallas mode stores bf16 moments as (mu, nu) pairs packed into f32
+lanes, since Mosaic cannot row-slice bf16 HBM arrays), VOCAB_PER_FEATURE
+(default 2_500_000), ZIPF, SCAN_STEPS.
 """
 from __future__ import annotations
 

@@ -40,14 +40,19 @@ def main():
                 masks=(None, mask), chunk=chunk)
             return t, m, jnp.sum(rows)
 
+        def sync(out):
+            # sync on the KERNEL outputs, not just the gather sum —
+            # PJRT outputs become ready individually
+            for o in out:
+                float(np.asarray(o.ravel()[0]))
         out = f(table, monu, ids, d_t, vals, mask)
-        float(np.asarray(out[2].ravel()[0]))
+        sync(out)
         best = float("inf")
         for _ in range(8):
             del out
             t0 = time.perf_counter()
             out = f(table, monu, ids, d_t, vals, mask)
-            float(np.asarray(out[2].ravel()[0]))
+            sync(out)
             best = min(best, time.perf_counter() - t0)
         del out
         results[chunk] = best

@@ -24,15 +24,19 @@ import numpy as np
 
 
 def chain_time(fn, args, iters=8):
+    """Sync on EVERY output leaf (a scalar slice each): reading only one
+    leaf can complete before the other outputs' work drains (PJRT outputs
+    become ready individually)."""
+    def sync(out):
+        for leaf in jax.tree_util.tree_leaves(out):
+            float(np.asarray(leaf.ravel()[0]))
     out = fn(*args)
-    leaf = jax.tree_util.tree_leaves(out)[-1]
-    float(np.asarray(leaf.ravel()[0]))
+    sync(out)
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args)
-        leaf = jax.tree_util.tree_leaves(out)[-1]
-        float(np.asarray(leaf.ravel()[0]))
+        sync(out)
         best = min(best, time.perf_counter() - t0)
     return best
 

@@ -97,6 +97,30 @@ def init_sparse_adam(table: jnp.ndarray, dtype=None, packed: bool = False):
     )
 
 
+def to_split_state(st):
+    """Canonical (mu, nu) layout for checkpoints: the packed bf16-pair
+    layout is a PLATFORM-dependent runtime choice (auto table_update picks
+    it on TPU only), so checkpoints always store the split form and the
+    loader re-packs — otherwise a TPU-written checkpoint could not restore
+    on CPU (pytree structure mismatch).  unpack/pack are bitcasts, so the
+    round-trip is bit-exact."""
+    if isinstance(st, SparseAdamPackedState):
+        mu, nu = unpack_monu(st.monu)
+        return SparseAdamState(mu=mu, nu=nu, count=st.count)
+    return st
+
+
+def to_runtime_state(st, packed: bool):
+    """Inverse of to_split_state for the current runtime layout."""
+    if packed and isinstance(st, SparseAdamState):
+        return SparseAdamPackedState(
+            monu=pack_monu(st.mu.astype(jnp.bfloat16),
+                           st.nu.astype(jnp.bfloat16)),
+            count=st.count,
+        )
+    return st
+
+
 def sparse_adam_row_update(
     table: jnp.ndarray,
     g_table: jnp.ndarray,

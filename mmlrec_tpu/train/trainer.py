@@ -149,6 +149,7 @@ class Trainer:
                 f"table_update must be auto|scatter|unique|pallas, got "
                 f"{self.table_update!r}"
             )
+        self._table_update_auto = self.table_update == "auto"
         if self.table_update == "auto":
             on_tpu = jax.devices()[0].platform != "cpu"
             self.table_update = (
@@ -172,14 +173,7 @@ class Trainer:
                     "paths keep their own update (GSPMD / explicit)"
                 )
             # static physical row count (mirrors FusedEmbedding.setup)
-            total = int(
-                sum(s.feature.vocabulary_size for s in self.layout.sparse_slots)
-            )
-            rows = -(-max(total, 1) // 128) * 128
-            P = self._emb_pack_factor
-            if P > 1:
-                rows = -(-rows // (P * 128)) * (P * 128)
-            self._emb_phys_rows = rows // P
+            self._emb_phys_rows = self._emb_phys_rows_static()
             # interpret mode runs the Pallas kernel on CPU (tests)
             self._pallas_interpret = jax.devices()[0].platform == "cpu"
             mdt = str(mc.extra.get("table_opt_dtype") or "float32")
@@ -750,6 +744,45 @@ class Trainer:
     # therefore lives in the train state as a device counter and the epoch's
     # shuffled indices/weights are transferred once per epoch.
 
+    def _resolve_table_update(self, batch_size: int) -> None:
+        """Enforce the unique-metadata headroom constraint at fit time.
+
+        batch_step_metadata needs n_phys_rows > Kp (the padded per-batch id
+        count) to find distinct untouched pad rows.  Kp depends on the fit
+        batch size, so the constructor cannot check it: auto-resolved
+        pallas/unique quietly falls back to scatter here; an EXPLICIT mode
+        raises with guidance instead of crashing inside the first batch.
+        """
+        if self.table_update == "scatter":
+            return
+        K = batch_size * len(self.layout.sparse_slots)
+        Kp = -(-K // 256) * 256
+        if self._emb_phys_rows > Kp:
+            return
+        if not getattr(self, "_table_update_auto", False):
+            raise ValueError(
+                f"table_update={self.table_update!r} needs the physical "
+                f"table ({self._emb_phys_rows} rows) to exceed the padded "
+                f"per-batch id count Kp={Kp}; use a larger vocabulary, a "
+                "smaller batch, or table_update='scatter'"
+            )
+        self.table_update = "scatter"
+        self._packed_moments = False
+        self._step_fns.clear()
+        prev = getattr(self, "_train_state", None)
+        if prev and "table_opt" in prev:
+            from .sparse_embedding import (
+                SparseAdamPackedState,
+                SparseAdamState,
+                unpack_monu,
+            )
+
+            if isinstance(prev["table_opt"], SparseAdamPackedState):
+                mu, nu = unpack_monu(prev["table_opt"].monu)
+                prev["table_opt"] = SparseAdamState(
+                    mu=mu, nu=nu, count=prev["table_opt"].count
+                )
+
     def _emb_phys_rows_static(self) -> int:
         """Physical row count of the fused table (mirrors
         FusedEmbedding.setup), independent of table_update mode."""
@@ -948,6 +981,8 @@ class Trainer:
     ) -> "Trainer":
         mc, oc, tc = self.cfg.model_config, self.cfg.optim_config, self.cfg.training_config
         batch_size = batch_size or 256
+        if self.two_phase_embedding:
+            self._resolve_table_update(batch_size)
         ids, dense = self.pack_inputs(x)
         y = self._prepare_y(y)
         dmask = self._domain_mask_from(x)
@@ -1682,12 +1717,19 @@ class Trainer:
         if getattr(self, "_train_state", None) is None:
             raise ValueError("no training state; call fit() first")
         epoch = epoch if epoch is not None else len(self.history)
+        from .sparse_embedding import to_split_state
+
+        payload_state = {
+            k: v
+            for k, v in self._train_state.items()
+            if v is not None and k != "epoch_step"  # transient counter
+        }
+        if "table_opt" in payload_state:
+            # checkpoints store the platform-independent split layout
+            payload_state["table_opt"] = to_split_state(
+                payload_state["table_opt"])
         payload = {
-            "state": {
-                k: v
-                for k, v in self._train_state.items()
-                if v is not None and k != "epoch_step"  # transient counter
-            },
+            "state": payload_state,
             "epoch": jnp.asarray(epoch, jnp.int32),
         }
         full = self._state_ckpt_dir(path)
@@ -1699,14 +1741,23 @@ class Trainer:
     def _restore_training_state(self, path: str, template_state):
         import orbax.checkpoint as ocp
 
+        from .sparse_embedding import to_runtime_state, to_split_state
+
+        tmpl_state = {
+            k: v for k, v in template_state.items() if v is not None}
+        if "table_opt" in tmpl_state:
+            tmpl_state["table_opt"] = to_split_state(tmpl_state["table_opt"])
         template = {
-            "state": {k: v for k, v in template_state.items() if v is not None},
+            "state": tmpl_state,
             "epoch": jnp.zeros((), jnp.int32),
         }
         checkpointer = ocp.StandardCheckpointer()
         restored = checkpointer.restore(path, template)
         state = dict(template_state)
         state.update(restored["state"])
+        if "table_opt" in state:
+            state["table_opt"] = to_runtime_state(
+                state["table_opt"], getattr(self, "_packed_moments", False))
         return state, int(restored["epoch"])
 
     def save_checkpoint(self, path: str):
