@@ -211,6 +211,12 @@ class Trainer:
         # 16-step chunks when the fused table spans >= 256 MB (numerics are
         # bitwise identical to the per-step path — the scan body IS the
         # per-step program); explicit 0/false disables.
+        # streaming-path prefetch depth (host loop only): batches ahead to
+        # build (uploads + metadata) in a worker thread.  1 = synchronous.
+        self._prefetch_batches = int(mc.extra.get("prefetch_batches", 2))
+        # datasets below this (x2 for staging headroom) ride the on-device
+        # fast path; larger ones stream per batch with prefetch
+        self._device_data_bytes_cap = 4 * 1024**3
         raw_scan = mc.extra.get("scan_steps", None)
         if raw_scan is None:
             if self.sparse_embedding_update or self.two_phase_embedding:
@@ -1099,7 +1105,10 @@ class Trainer:
         # drive this design).  Used whenever the dataset fits device memory
         # and no mesh-specific per-batch sharding is needed.
         dataset_bytes = ids.nbytes + dense.nbytes + y.nbytes
-        use_device_data = self.mesh is None and dataset_bytes * 2 < 4 * 1024**3
+        use_device_data = (
+            self.mesh is None
+            and dataset_bytes * 2 < self._device_data_bytes_cap
+        )
         block_mode = shuffle == "block"
         if use_device_data:
             state["epoch_step"] = jnp.zeros((), jnp.int32)
@@ -1269,7 +1278,15 @@ class Trainer:
                     epoch_probs.append(probs_flat)
                     epoch_y.append(y[host_rows])
             else:
-                for s in range(steps_this_epoch):
+                # Streaming path (dataset too large to stage on device, or
+                # mesh-sharded batches).  Batch construction — host slicing,
+                # device uploads through the relay, and the two-phase
+                # duplicate metadata (~4 ms at K=65k) — runs in a single
+                # PREFETCH worker thread, overlapping the main thread's
+                # per-step dispatch + loss readback.  One worker preserves
+                # batch order, so numerics are identical to the
+                # synchronous loop.
+                def make_batch(s):
                     idx = order[s * batch_size : (s + 1) * batch_size]
                     pad = batch_size - len(idx)
                     weight = np.ones(batch_size, np.float32)
@@ -1292,13 +1309,29 @@ class Trainer:
                         flat = (ids[idx].astype(np.int64) + offs).reshape(1, -1)
                         meta = self._step_metadata(flat)
                         batch = batch + tuple(jnp.asarray(a[0]) for a in meta)
-                    state, total_loss, data_loss, probs = train_step(state, batch)
-                    total_steps += 1
-                    examples_seen += int(np.sum(weight))
-                    if self.metric_fns:
-                        epoch_probs.append(np.asarray(probs))
-                        epoch_y.append(y[idx])
-                    total_loss_epoch += float(total_loss)
+                    return idx, weight, batch
+
+                from collections import deque
+                from concurrent.futures import ThreadPoolExecutor
+
+                depth = max(int(self._prefetch_batches), 1)
+                with ThreadPoolExecutor(max_workers=1) as pool:
+                    pending = deque(
+                        pool.submit(make_batch, s)
+                        for s in range(min(depth, steps_this_epoch))
+                    )
+                    for s in range(steps_this_epoch):
+                        idx, weight, batch = pending.popleft().result()
+                        if s + depth < steps_this_epoch:
+                            pending.append(pool.submit(make_batch, s + depth))
+                        state, total_loss, data_loss, probs = train_step(
+                            state, batch)
+                        total_steps += 1
+                        examples_seen += int(np.sum(weight))
+                        if self.metric_fns:
+                            epoch_probs.append(np.asarray(probs))
+                            epoch_y.append(y[idx])
+                        total_loss_epoch += float(total_loss)
 
             jax.block_until_ready(state["params"])
             epoch_time = time.time() - t0

@@ -191,3 +191,27 @@ def test_scan_steps_auto_resolution():
                        scan_steps=0)
     layout3, *_ = make_data(cfg3, n=200, seed=0, vocab=3_000_000)
     assert Trainer(get_model("sharedbottom", layout3, cfg3), seed=0)._scan_steps == 0
+
+
+def test_streaming_prefetch_matches_synchronous():
+    """The streaming-path prefetch worker preserves batch order, so the
+    trained table is bit-identical to the synchronous loop (prefetch=1).
+    The host loop is forced by zeroing the device-staging cap."""
+    import numpy as np
+
+    from mmlrec_tpu.models import get_model
+    from mmlrec_tpu.synthetic import make_config, make_data
+
+    tables = {}
+    for depth in (1, 3):
+        cfg = make_config(task_name="mtl", model_name="sharedbottom",
+                          n_sparse=4, n_dense=2, hidden=(16, 8), tower=(8,),
+                          gate=(8,), epochs=2, batch_size=128, lr=3e-3,
+                          prefetch_batches=depth, two_phase_embedding=True)
+        layout, x, y, _ = make_data(cfg, n=700, seed=0)
+        tr = Trainer(get_model("sharedbottom", layout, cfg), seed=0).compile()
+        tr._device_data_bytes_cap = 0  # force the streaming host loop
+        tr.fit(x, y, batch_size=128, epochs=2, verbose=0)
+        tables[depth] = np.asarray(
+            tr.variables["params"]["embeddings"]["fused"]["table"])
+    np.testing.assert_array_equal(tables[3], tables[1])
