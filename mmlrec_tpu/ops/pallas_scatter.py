@@ -97,14 +97,17 @@ def _rmw_kernel(chunk, n_arrays, modes, ids_ref, nreal_ref, *refs):
                 write(a, j).wait()
 
 
-def _write_kernel(chunk, n_arrays, ids_ref, nreal_ref, *refs):
+def _write_kernel(chunk, n_arrays, ids_ref, bounds_ref, *refs):
     # refs layout: [v_0..v_{n-1} (VMEM value windows),
     #               t_in_0..t_in_{n-1} (HBM), t_out_0.. (HBM, aliased), sems]
     v_refs = refs[:n_arrays]
     out_refs = refs[2 * n_arrays: 3 * n_arrays]
     sems = refs[3 * n_arrays]
     i = pl.program_id(0)
-    nreal = nreal_ref[0]
+    lo = bounds_ref[0]
+    hi = bounds_ref[1]
+    c0 = i * chunk
+    c1 = (i + 1) * chunk
 
     def write(a, j):
         idx = ids_ref[i * chunk + j]
@@ -112,12 +115,15 @@ def _write_kernel(chunk, n_arrays, ids_ref, nreal_ref, *refs):
             v_refs[a].at[j], out_refs[a].at[idx], sems.at[a]
         )
 
-    # Pad slots (>= n_real, at the TAIL) must NOT be written: unlike the
-    # RMW kernel their value windows hold zeros, not the rows' contents.
-    # Full chunks run predicate-free (per-DMA predicates measured ~20%
+    # Only slots in [lo, hi) are written — tail pads (and, on the sharded
+    # path, slots owned by OTHER shards) hold zeros, not row contents, and
+    # the sharded local ids are out of range there.  Chunks fully inside
+    # the window run predicate-free (per-DMA predicates measured ~20%
     # slower overall — the scalar core issues DMAs AND evaluates them);
-    # only the ONE boundary chunk pays per-row predication.
-    @pl.when((i + 1) * chunk <= nreal)
+    # only the boundary chunks pay per-row predication.
+    full = (c0 >= lo) & (c1 <= hi)
+
+    @pl.when(full)
     def _full():
         for a in range(n_arrays):
             for j in range(chunk):
@@ -126,31 +132,34 @@ def _write_kernel(chunk, n_arrays, ids_ref, nreal_ref, *refs):
             for j in range(chunk):
                 write(a, j).wait()
 
-    @pl.when((i * chunk < nreal) & ((i + 1) * chunk > nreal))
+    @pl.when((c1 > lo) & (c0 < hi) & ~full)
     def _boundary():
         for a in range(n_arrays):
             for j in range(chunk):
-                @pl.when(i * chunk + j < nreal)
+                @pl.when((c0 + j >= lo) & (c0 + j < hi))
                 def _s(a=a, j=j):
                     write(a, j).start()
         for a in range(n_arrays):
             for j in range(chunk):
-                @pl.when(i * chunk + j < nreal)
+                @pl.when((c0 + j >= lo) & (c0 + j < hi))
                 def _w(a=a, j=j):
                     write(a, j).wait()
 
 
-def pallas_rows_write(arrays, ids, values, *, n_real=None, chunk: int = 256,
-                      interpret: bool = False):
-    """``arrays[a][ids[k]] = values[a][k]`` for k < n_real, in one pass of
-    per-row WRITE DMAs — half the DMA issues of the read-modify-write form.
+def pallas_rows_write(arrays, ids, values, *, n_real=None, bounds=None,
+                      chunk: int = 256, interpret: bool = False):
+    """``arrays[a][ids[k]] = values[a][k]`` for the real slots, in one pass
+    of per-row WRITE DMAs — half the DMA issues of a read-modify-write.
 
     The caller supplies each touched row's complete NEW contents (the
     two-phase step already holds the old rows from its phase-1 gather, so
     new = old + delta / masked-merge is computed in XLA where it fuses for
     free).  ids must be UNIQUE physical rows with all padding at the TAIL
     (ids[n_real:]), exactly what batch_step_metadata emits; pad slots are
-    never written.
+    never written.  ``bounds`` ([2] int32 (lo, hi)) generalizes n_real for
+    the SHARDED path: each device owns a contiguous window of the sorted
+    unique row list and writes only slots in [lo, hi) — local ids are out
+    of range outside it.  bounds overrides n_real; both None = all K.
     """
     n = len(arrays)
     assert len(values) == n
@@ -159,9 +168,14 @@ def pallas_rows_write(arrays, ids, values, *, n_real=None, chunk: int = 256,
     assert K % chunk == 0, (K, chunk)
     for a, v in zip(arrays, values):
         assert a.shape[0] == V and v.shape == (K, a.shape[1])
-    if n_real is None:
-        n_real = jnp.full((1,), K, jnp.int32)
-    win = lambda i, ids, nreal: (i, 0)
+    if bounds is None:
+        if n_real is None:
+            bounds = jnp.asarray([0, K], jnp.int32)
+        else:
+            bounds = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), n_real.astype(jnp.int32)]
+            )
+    win = lambda i, ids, bounds: (i, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(K // chunk,),
@@ -182,7 +196,7 @@ def pallas_rows_write(arrays, ids, values, *, n_real=None, chunk: int = 256,
         grid_spec=grid_spec,
         input_output_aliases={2 + n + a: a for a in range(n)},
         interpret=interpret,
-    )(ids, n_real, *values, *arrays)
+    )(ids, bounds, *values, *arrays)
     return tuple(out)
 
 

@@ -37,8 +37,12 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
 
-from ..train.sparse_embedding import SparseAdamState
-from .shard_embedding import owned_gather, sharded_two_phase_sparse_adam
+from ..train.sparse_embedding import SparseAdamPackedState, SparseAdamState
+from .shard_embedding import (
+    owned_gather,
+    sharded_two_phase_sparse_adam,
+    sharded_two_phase_sparse_adam_pallas,
+)
 
 
 def make_explicit_two_phase_step(trainer):
@@ -57,8 +61,11 @@ def make_explicit_two_phase_step(trainer):
     lr = trainer.cfg.optim_config.lr
     offsets = trainer._fused_offsets
 
+    use_pallas = trainer.table_update == "pallas"
+    pallas_interpret = getattr(trainer, "_pallas_interpret", True)
+
     def body(rest, table, topt, opt_state, rng, ids, dense, y, dmask, weight,
-             inv, rep):
+             inv, rep, *meta):
         B_loc, F = ids.shape
         k_loc = B_loc * F
         shard_i = jax.lax.axis_index("data")
@@ -91,20 +98,33 @@ def make_explicit_two_phase_step(trainer):
         # global (inv, rep) dedup metadata applies verbatim.
         flat_all = jax.lax.all_gather(flat_local, "data", tiled=True)
         g_rows_all = jax.lax.all_gather(g_rows, "data", tiled=True)
-        new_table, new_topt = sharded_two_phase_sparse_adam(
-            table, g_rows_all, flat_all, inv, rep, topt,
-            lr=lr, pack_factor=pack_factor,
-        )
+        if use_pallas:
+            pids, pinv, nuniq, prep = meta
+            new_table, new_topt = sharded_two_phase_sparse_adam_pallas(
+                table, g_rows_all, flat_all, inv, rep, pids, pinv, nuniq,
+                prep, topt, lr=lr, pack_factor=pack_factor,
+                interpret=pallas_interpret,
+            )
+        else:
+            new_table, new_topt = sharded_two_phase_sparse_adam(
+                table, g_rows_all, flat_all, inv, rep, topt,
+                lr=lr, pack_factor=pack_factor,
+            )
         updates, opt_state = trainer.tx.update(g_rest, opt_state, rest)
         rest = optax.apply_updates(rest, updates)
         return (rest, new_table, new_topt, opt_state, rng, total_loss,
                 data_loss, probs)
 
     row_sharded = P("model", None)
-    topt_spec = SparseAdamState(mu=row_sharded, nu=row_sharded, count=P())
 
     def step(state, batch):
-        ids, dense, y, dmask, weight, inv, rep = batch
+        ids, dense, y, dmask, weight, inv, rep = batch[:7]
+        meta = tuple(batch[7:])  # (pids, pinv, nuniq, prep) in pallas mode
+        topt_spec = (
+            SparseAdamPackedState(monu=row_sharded, count=P())
+            if isinstance(state["table_opt"], SparseAdamPackedState)
+            else SparseAdamState(mu=row_sharded, nu=row_sharded, count=P())
+        )
         rest, table = trainer._without_table(state["params"])
         if state.get("batch_stats"):
             raise NotImplementedError(
@@ -114,7 +134,7 @@ def make_explicit_two_phase_step(trainer):
         batch_specs = (
             P("data", None), P("data", None), P("data", None),
             None if dmask is None else P("data", None), P("data"), P(), P(),
-        )
+        ) + (P(),) * len(meta)  # unique-row metadata replicated
         fn = jax.shard_map(
             body,
             mesh=mesh,
@@ -125,7 +145,7 @@ def make_explicit_two_phase_step(trainer):
         )
         (rest, table, topt, opt_state, rng, total_loss, data_loss, probs) = fn(
             rest, table, state["table_opt"], state["opt_state"], state["rng"],
-            ids, dense, y, dmask, weight, inv, rep,
+            ids, dense, y, dmask, weight, inv, rep, *meta,
         )
         new_state = {
             "params": trainer._with_table(rest, table),

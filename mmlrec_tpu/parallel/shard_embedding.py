@@ -147,3 +147,166 @@ def sharded_two_phase_sparse_adam(
         pack_factor, axis_name,
     )
     return table_shard, SparseAdamState(mu=mu, nu=nu, count=count)
+
+
+def owned_gather_phys(
+    shard: jnp.ndarray,
+    phys_ids: jnp.ndarray,
+    axis_name: str = "model",
+) -> jnp.ndarray:
+    """[K] PHYSICAL row ids (replicated) -> [K, W] full physical rows.
+
+    Like owned_gather but without the sub-row extraction: the write-only
+    sharded update (sharded_two_phase_sparse_adam_pallas) needs each
+    touched row's complete old contents to compute its new contents in
+    XLA.  One [K, W] psum over the model axis.
+    """
+    r_local = shard.shape[0]
+    base = jax.lax.axis_index(axis_name) * r_local
+    local = phys_ids - base
+    owned = (local >= 0) & (local < r_local)
+    got = jnp.take(shard, jnp.clip(local, 0, r_local - 1), axis=0)
+    got = jnp.where(owned[:, None], got, 0)
+    return jax.lax.psum(got, axis_name)
+
+
+def _owned_bounds(pids, nuniq, base, r_local):
+    """Contiguous slot window [lo, hi) of this shard's rows within the
+    sorted unique physical row list (slots >= nuniq are tail pads)."""
+    Kp = pids.shape[0]
+    owned = (
+        (pids >= base)
+        & (pids < base + r_local)
+        & (jnp.arange(Kp, dtype=jnp.int32) < nuniq[0])
+    )
+    lo = jnp.argmax(owned).astype(jnp.int32)  # 0 when none owned
+    cnt = jnp.sum(owned).astype(jnp.int32)
+    return jnp.stack([lo, lo + cnt])
+
+
+def sharded_two_phase_sparse_adam_pallas(
+    table_shard: jnp.ndarray,
+    g_rows: jnp.ndarray,  # [K, D] global row cotangents, replicated on 'model'
+    flat_ids: jnp.ndarray,  # [K] global logical ids, replicated
+    inv: jnp.ndarray,
+    rep: jnp.ndarray,
+    pids: jnp.ndarray,  # [Kp] unique physical rows (sorted prefix + tail pads)
+    pinv: jnp.ndarray,  # [K] slot of each logical id's physical row
+    nuniq: jnp.ndarray,  # [1] unique count
+    prep: jnp.ndarray,  # [K] 1.0 at each physical row's first occurrence
+    state,  # SparseAdamState or SparseAdamPackedState, row-sharded
+    lr: float,
+    pack_factor: int = 1,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    interpret: bool = False,
+    axis_name: str = "model",
+):
+    """The write-only-kernel table update on row-sharded state.
+
+    Each device computes the REPLICATED new-row buffers (same math as the
+    single-device two_phase_sparse_adam_unique pallas path — the value
+    buffers are [Kp, W] and cheap next to the exchange), finds its
+    contiguous owned window of the sorted unique row list, and streams its
+    rows with ONE write DMA each (ops/pallas_scatter.py bounds mode).  Old
+    rows arrive via owned_gather_phys psums — the same wire class as the
+    existing exchange.  Zero collectives in the update itself.
+    """
+    from ..train.sparse_embedding import (
+        SparseAdamPackedState,
+        pack_monu,
+        unpack_monu,
+    )
+    from ..ops.pallas_scatter import pallas_rows_write
+
+    dim = g_rows.shape[-1]
+    K = g_rows.shape[0]
+    P = pack_factor
+    packed = isinstance(state, SparseAdamPackedState)
+    count = state.count + 1
+    t = count.astype(jnp.float32)
+    phys = flat_ids // P if P > 1 else flat_ids
+    r_local = table_shard.shape[0]
+    base = jax.lax.axis_index(axis_name) * r_local
+    W = table_shard.shape[1]
+    Kp = pids.shape[0]
+
+    g_sum = jnp.zeros_like(g_rows).at[inv].add(g_rows)
+    sup = owned_gather_phys(table_shard, phys, axis_name)  # [K, W] old table
+    sub = jax.nn.one_hot(flat_ids % P, P, dtype=jnp.float32) if P > 1 else None
+
+    def extract(sup_rows):
+        if P > 1:
+            return jnp.einsum(
+                "kp,kpd->kd", sub,
+                sup_rows.astype(jnp.float32).reshape(K, P, dim))
+        return sup_rows.astype(jnp.float32)
+
+    def widen(x):
+        if P > 1:
+            return jnp.einsum("kp,kd->kpd", sub, x).reshape(K, P * dim)
+        return x
+
+    if packed:
+        sup_c = owned_gather_phys(state.monu, phys, axis_name)
+        mu128, nu128 = unpack_monu(sup_c)
+        mu_f, nu_f = extract(mu128), extract(nu128)
+    else:
+        sup_mu = owned_gather_phys(state.mu, phys, axis_name)
+        sup_nu = owned_gather_phys(state.nu, phys, axis_name)
+        mu_f, nu_f = extract(sup_mu), extract(sup_nu)
+
+    new_mu = b1 * mu_f + (1.0 - b1) * g_sum
+    new_nu = b2 * nu_f + (1.0 - b2) * g_sum * g_sum
+    mu_hat = new_mu / (1.0 - b1**t)
+    nu_hat = new_nu / (1.0 - b2**t)
+    r = rep[:, None]
+    pr = prep[:, None]
+    d_table = -lr * mu_hat / (jnp.sqrt(nu_hat) + eps) * r
+
+    bounds = _owned_bounds(pids, nuniq, base, r_local)
+    local_pids = (pids - base).astype(jnp.int32)
+
+    if packed:
+        vals_c = pack_monu(
+            widen(new_mu).astype(jnp.bfloat16),
+            widen(new_nu).astype(jnp.bfloat16))
+        own = widen(jnp.broadcast_to(r, (K, dim)))
+        vals_i = jnp.where(
+            own > 0, jax.lax.bitcast_convert_type(vals_c, jnp.int32), 0)
+        acc_vals = jax.lax.bitcast_convert_type(
+            jnp.zeros((Kp, W), jnp.int32).at[pinv].add(vals_i), jnp.float32)
+        accf = jnp.zeros((Kp, 2 * W), jnp.float32).at[pinv].add(
+            jnp.concatenate([widen(d_table) + sup * pr, own], axis=1))
+        # old containers at every slot (pads are valid untouched rows;
+        # their slots are skipped by the kernel's bounds anyway)
+        base_c = owned_gather_phys(state.monu, pids, axis_name)
+        new_table, new_monu = pallas_rows_write(
+            (table_shard, state.monu), local_pids,
+            (accf[:, :W],
+             jnp.where(accf[:, W:] > 0, acc_vals, base_c)),
+            bounds=bounds, chunk=min(256, Kp), interpret=interpret,
+        )
+        return new_table, SparseAdamPackedState(monu=new_monu, count=count)
+
+    mdt = state.mu.dtype
+    d_mu = (new_mu.astype(mdt).astype(jnp.float32) - mu_f) * r
+    d_nu = (new_nu.astype(mdt).astype(jnp.float32) - nu_f) * r
+    acc3 = jnp.zeros((Kp, 3 * W), jnp.float32).at[pinv].add(
+        jnp.concatenate(
+            [
+                widen(d_table) + sup * pr,
+                widen(d_mu) + sup_mu.astype(jnp.float32) * pr,
+                widen(d_nu) + sup_nu.astype(jnp.float32) * pr,
+            ],
+            axis=1,
+        )
+    )
+    new_table, new_mu_s, new_nu_s = pallas_rows_write(
+        (table_shard, state.mu, state.nu), local_pids,
+        (acc3[:, :W], acc3[:, W:2 * W].astype(mdt),
+         acc3[:, 2 * W:].astype(mdt)),
+        bounds=bounds, chunk=min(256, Kp), interpret=interpret,
+    )
+    return new_table, SparseAdamState(mu=new_mu_s, nu=new_nu_s, count=count)

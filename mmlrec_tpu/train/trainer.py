@@ -167,10 +167,14 @@ class Trainer:
         if self.table_update != "scatter":
             if not self.two_phase_embedding:
                 raise ValueError("table_update requires two_phase_embedding")
-            if self.mesh is not None:
+            if self.mesh is not None and not (
+                self.table_update == "pallas"
+                and mc.extra.get("explicit_collective_embedding")
+            ):
                 raise ValueError(
-                    "table_update unique/pallas is single-device; the mesh "
-                    "paths keep their own update (GSPMD / explicit)"
+                    "table_update unique/pallas with a mesh requires the "
+                    "explicit_collective_embedding path (pallas only); the "
+                    "GSPMD mesh path keeps its own update"
                 )
             # static physical row count (mirrors FusedEmbedding.setup)
             self._emb_phys_rows = self._emb_phys_rows_static()
