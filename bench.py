@@ -24,7 +24,35 @@ import numpy as np
 REFERENCE_EXAMPLES_PER_S = 63614.9
 
 
+def _wait_for_backend(retries: int = 10, delay_s: int = 60):
+    """The TPU relay occasionally dies outright (RuntimeError: Unable to
+    initialize backend 'axon': UNAVAILABLE) and recovers minutes later —
+    wait before committing this process to jax (a failed backend init is
+    CACHED in-process, so the probe runs in a subprocess)."""
+    import subprocess
+    import sys
+
+    probe = (
+        "import numpy as np, jax, jax.numpy as jnp; "
+        "x = jnp.ones((8, 8)); float(np.asarray((x @ x).ravel()[0]))"
+    )
+    for attempt in range(retries):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe], timeout=120, check=True,
+                capture_output=True,
+            )
+            return
+        except Exception as e:
+            if attempt == retries - 1:
+                raise RuntimeError("TPU backend unavailable after retries") from e
+            print(f"backend unavailable ({type(e).__name__}); "
+                  f"retry {attempt + 1}/{retries} in {delay_s}s", flush=True)
+            time.sleep(delay_s)
+
+
 def main():
+    _wait_for_backend()
     import jax
     import jax.numpy as jnp
 
