@@ -112,8 +112,6 @@ def run(mode: str, vocab_per_feature: int = VOCAB, n_sparse: int = 16,
         def scan_step(state):
             return _jax.lax.scan(body, state, None, length=scan_n)
 
-        base_step = step
-
         def step(state, batch_):
             state, totals = scan_step(state)
             return state, totals[-1], None, None

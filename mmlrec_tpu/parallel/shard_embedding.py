@@ -149,27 +149,6 @@ def sharded_two_phase_sparse_adam(
     return table_shard, SparseAdamState(mu=mu, nu=nu, count=count)
 
 
-def owned_gather_phys(
-    shard: jnp.ndarray,
-    phys_ids: jnp.ndarray,
-    axis_name: str = "model",
-) -> jnp.ndarray:
-    """[K] PHYSICAL row ids (replicated) -> [K, W] full physical rows.
-
-    Like owned_gather but without the sub-row extraction: the write-only
-    sharded update (sharded_two_phase_sparse_adam_pallas) needs each
-    touched row's complete old contents to compute its new contents in
-    XLA.  One [K, W] psum over the model axis.
-    """
-    r_local = shard.shape[0]
-    base = jax.lax.axis_index(axis_name) * r_local
-    local = phys_ids - base
-    owned = (local >= 0) & (local < r_local)
-    got = jnp.take(shard, jnp.clip(local, 0, r_local - 1), axis=0)
-    got = jnp.where(owned[:, None], got, 0)
-    return jax.lax.psum(got, axis_name)
-
-
 def _owned_bounds(pids, nuniq, base, r_local):
     """Contiguous slot window [lo, hi) of this shard's rows within the
     sorted unique physical row list (slots >= nuniq are tail pads)."""
@@ -209,9 +188,11 @@ def sharded_two_phase_sparse_adam_pallas(
     single-device two_phase_sparse_adam_unique pallas path — the value
     buffers are [Kp, W] and cheap next to the exchange), finds its
     contiguous owned window of the sorted unique row list, and streams its
-    rows with ONE write DMA each (ops/pallas_scatter.py bounds mode).  Old
-    rows arrive via owned_gather_phys psums — the same wire class as the
-    existing exchange.  Zero collectives in the update itself.
+    rows with ONE write DMA each (ops/pallas_scatter.py bounds mode).  The
+    old-row fetches are LOCAL takes — every physical row a shard writes is
+    locally resident, so non-owned positions may hold zeros (they only
+    flow into slots outside the written window).  ZERO collectives in the
+    entire update.
     """
     from ..train.sparse_embedding import (
         SparseAdamPackedState,
@@ -233,7 +214,18 @@ def sharded_two_phase_sparse_adam_pallas(
     Kp = pids.shape[0]
 
     g_sum = jnp.zeros_like(g_rows).at[inv].add(g_rows)
-    sup = owned_gather_phys(table_shard, phys, axis_name)  # [K, W] old table
+
+    def local_rows(shard, ids_phys):
+        """Old rows WITHOUT a collective: every physical row a shard
+        writes is locally resident (a slot's logical contributors share
+        its physical row), so non-owned positions may hold zeros — they
+        only flow into slots outside this shard's written window."""
+        local = ids_phys - base
+        owned = (local >= 0) & (local < r_local)
+        got = jnp.take(shard, jnp.clip(local, 0, r_local - 1), axis=0)
+        return jnp.where(owned[:, None], got, 0)
+
+    sup = local_rows(table_shard, phys)  # [K, W] old table rows (owned)
     sub = jax.nn.one_hot(flat_ids % P, P, dtype=jnp.float32) if P > 1 else None
 
     def extract(sup_rows):
@@ -249,12 +241,12 @@ def sharded_two_phase_sparse_adam_pallas(
         return x
 
     if packed:
-        sup_c = owned_gather_phys(state.monu, phys, axis_name)
+        sup_c = local_rows(state.monu, phys)
         mu128, nu128 = unpack_monu(sup_c)
         mu_f, nu_f = extract(mu128), extract(nu128)
     else:
-        sup_mu = owned_gather_phys(state.mu, phys, axis_name)
-        sup_nu = owned_gather_phys(state.nu, phys, axis_name)
+        sup_mu = local_rows(state.mu, phys)
+        sup_nu = local_rows(state.nu, phys)
         mu_f, nu_f = extract(sup_mu), extract(sup_nu)
 
     new_mu = b1 * mu_f + (1.0 - b1) * g_sum
@@ -280,8 +272,9 @@ def sharded_two_phase_sparse_adam_pallas(
         accf = jnp.zeros((Kp, 2 * W), jnp.float32).at[pinv].add(
             jnp.concatenate([widen(d_table) + sup * pr, own], axis=1))
         # old containers at every slot (pads are valid untouched rows;
-        # their slots are skipped by the kernel's bounds anyway)
-        base_c = owned_gather_phys(state.monu, pids, axis_name)
+        # their slots — and other shards' slots — are skipped by the
+        # kernel's bounds, so the zero-filled non-owned rows are harmless)
+        base_c = local_rows(state.monu, pids)
         new_table, new_monu = pallas_rows_write(
             (table_shard, state.monu), local_pids,
             (accf[:, :W],

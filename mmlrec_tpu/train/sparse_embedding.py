@@ -461,7 +461,6 @@ def two_phase_sparse_adam_unique(
         return jnp.zeros((Kp, width), jnp.float32).at[pinv].add(
             acc_contrib(delta))
 
-    acc_t = acc(d_table, row_width)
     if packed:
         # new container values per logical position: new bf16 (mu, nu)
         # pairs widened to the owned lanes; lane-ownership mask from the
@@ -487,7 +486,6 @@ def two_phase_sparse_adam_unique(
             jnp.zeros((Kp, row_width), jnp.int32).at[pinv].add(vals_i),
             jnp.float32,
         )
-        acc_mask = jnp.zeros((Kp, row_width), jnp.float32).at[pinv].add(own)
         if use_pallas:
             from ..ops.pallas_scatter import pallas_rows_write
 
@@ -518,7 +516,9 @@ def two_phase_sparse_adam_unique(
             )
         else:
             kw = dict(unique_indices=True)
-            table = table.at[pids].add(acc_t, **kw)
+            acc_mask = jnp.zeros(
+                (Kp, row_width), jnp.float32).at[pinv].add(own)
+            table = table.at[pids].add(acc(d_table, row_width), **kw)
             old = jnp.take(state.monu, pids, axis=0, **kw)
             monu = state.monu.at[pids].set(
                 jnp.where(acc_mask > 0, acc_vals, old), **kw
@@ -560,7 +560,7 @@ def two_phase_sparse_adam_unique(
     else:
         kw = dict(unique_indices=True)
         acc_mu, acc_nu = acc(d_mu, row_width), acc(d_nu, row_width)
-        table = table.at[pids].add(acc_t, **kw)
+        table = table.at[pids].add(acc(d_table, row_width), **kw)
         mu = state.mu.at[pids].add(acc_mu.astype(mdt), **kw)
         nu = state.nu.at[pids].add(acc_nu.astype(mdt), **kw)
     return table, SparseAdamState(mu=mu, nu=nu, count=count)

@@ -151,16 +151,18 @@ class Trainer:
             )
         self._table_update_auto = self.table_update == "auto"
         if self.table_update == "auto":
-            on_tpu = jax.devices()[0].platform != "cpu"
+            # the jax.devices() probe initializes the backend (and a failed
+            # relay init is cached in-process), so it must come LAST in the
+            # conjunction — plain dense-model construction touches no device
             self.table_update = (
                 "pallas"
                 if (
                     self.two_phase_embedding
                     and self.mesh is None
-                    and on_tpu
                     and self._emb_dim * self._emb_pack_factor == 128
                     and str(mc.extra.get("table_opt_dtype") or "float32")
                     in ("float32", "bfloat16")
+                    and jax.devices()[0].platform != "cpu"
                 )
                 else "scatter"
             )
@@ -1789,7 +1791,15 @@ class Trainer:
             "epoch": jnp.zeros((), jnp.int32),
         }
         checkpointer = ocp.StandardCheckpointer()
-        restored = checkpointer.restore(path, template)
+        try:
+            restored = checkpointer.restore(path, template)
+        except Exception:
+            # pre-migration checkpoints stored the runtime (possibly
+            # packed) layout directly — retry with the unconverted template
+            template["state"] = {
+                k: v for k, v in template_state.items() if v is not None
+            }
+            restored = checkpointer.restore(path, template)
         state = dict(template_state)
         state.update(restored["state"])
         if "table_opt" in state:
