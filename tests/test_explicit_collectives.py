@@ -196,10 +196,11 @@ def test_explicit_step_pallas_matches_scatter(mdt):
             extra["table_update"] = "pallas"
         if mdt:
             extra["table_opt_dtype"] = mdt
+        # small shapes: interpret-mode pallas runs per-row Python loops
         cfg = make_config(task_name="mtl", model_name="mmoe", n_sparse=4,
                           n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,),
-                          batch_size=64, lr=3e-3, vocab=400, **extra)
-        layout, x, y, _ = make_data(cfg, n=512, seed=0, vocab=400)
+                          batch_size=32, lr=3e-3, vocab=400, **extra)
+        layout, x, y, _ = make_data(cfg, n=128, seed=0, vocab=400)
         model = get_model("mmoe", layout, cfg)
         return (
             Trainer(model, seed=0, mesh=create_mesh(data=2, model=4)).compile(),
@@ -207,14 +208,14 @@ def test_explicit_step_pallas_matches_scatter(mdt):
         )
 
     tr_sc, x, y = setup(False)
-    tr_sc.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False)
+    tr_sc.fit(x, y, batch_size=32, epochs=2, verbose=0, shuffle=False)
     tr_pl, x2, y2 = setup(True)
-    tr_pl.fit(x2, y2, batch_size=64, epochs=2, verbose=0, shuffle=False)
+    tr_pl.fit(x2, y2, batch_size=32, epochs=2, verbose=0, shuffle=False)
     if mdt == "bfloat16":
         from mmlrec_tpu.train.sparse_embedding import SparseAdamPackedState
 
         assert isinstance(tr_pl._train_state["table_opt"], SparseAdamPackedState)
-    p1 = tr_sc.predict(x, batch_size=64)
-    p2 = tr_pl.predict(x2, batch_size=64)
+    p1 = tr_sc.predict(x, batch_size=32)
+    p2 = tr_pl.predict(x2, batch_size=32)
     atol = 5e-3 if mdt == "bfloat16" else 2e-4
     np.testing.assert_allclose(p1, p2, rtol=2e-3, atol=atol)

@@ -156,16 +156,18 @@ def test_scan_steps_two_phase_pallas():
 
     tables = {}
     for scan in (0, 4):
+        # small shapes: interpret-mode pallas executes per-row DMA loops in
+        # Python EVERY call (no compile cache), so work size = suite time
         kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
                   n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,), epochs=2,
-                  batch_size=128, lr=3e-3, two_phase_embedding=True,
+                  batch_size=64, lr=3e-3, two_phase_embedding=True,
                   table_update="pallas", vocab=400)
         if scan:
             kw["scan_steps"] = scan
         cfg = make_config(**kw)
-        layout, x, y, _ = make_data(cfg, n=800, seed=0, vocab=400)
+        layout, x, y, _ = make_data(cfg, n=320, seed=0, vocab=400)
         tr = Trainer(get_model("sharedbottom", layout, cfg), seed=0).compile()
-        tr.fit(x, y, batch_size=128, epochs=2, verbose=0)
+        tr.fit(x, y, batch_size=64, epochs=2, verbose=0)
         tables[scan] = np.asarray(
             tr.variables["params"]["embeddings"]["fused"]["table"])
     np.testing.assert_array_equal(tables[4], tables[0])
