@@ -265,20 +265,28 @@ def sharded_two_phase_sparse_adam_pallas(
             widen(new_mu).astype(jnp.bfloat16),
             widen(new_nu).astype(jnp.bfloat16))
         own = widen(jnp.broadcast_to(r, (K, dim)))
-        vals_i = jnp.where(
-            own > 0, jax.lax.bitcast_convert_type(vals_c, jnp.int32), 0)
-        acc_vals = jax.lax.bitcast_convert_type(
-            jnp.zeros((Kp, W), jnp.int32).at[pinv].add(vals_i), jnp.float32)
-        accf = jnp.zeros((Kp, 2 * W), jnp.float32).at[pinv].add(
-            jnp.concatenate([widen(d_table) + sup * pr, own], axis=1))
-        # old containers at every slot (pads are valid untouched rows;
-        # their slots — and other shards' slots — are skipped by the
-        # kernel's bounds, so the zero-filled non-owned rows are harmless)
-        base_c = local_rows(state.monu, pids)
+        # Old-row fold with NO [Kp, W] monu base gather (see the
+        # single-device path, train/sparse_embedding.py): owned lanes ride
+        # as wrapping int32 deltas (new_bits - old_bits) against the
+        # already-gathered sup_c and the prep contributor adds the whole
+        # old row, so per lane the sum is exactly new (owned) or old.
+        # Rows this shard does not own see sup_c = 0 and accumulate
+        # garbage, but their slots lie outside the kernel's bounds window
+        # and are never written.
+        old_i = jax.lax.bitcast_convert_type(sup_c, jnp.int32)
+        new_i = jax.lax.bitcast_convert_type(vals_c, jnp.int32)
+        contrib_i = (
+            jnp.where(own > 0, new_i - old_i, 0)
+            + prep.astype(jnp.int32)[:, None] * old_i
+        )
+        acc_monu = jax.lax.bitcast_convert_type(
+            jnp.zeros((Kp, W), jnp.int32).at[pinv].add(contrib_i),
+            jnp.float32)
+        acc_t = jnp.zeros((Kp, W), jnp.float32).at[pinv].add(
+            widen(d_table) + sup * pr)
         new_table, new_monu = pallas_rows_write(
             (table_shard, state.monu), local_pids,
-            (accf[:, :W],
-             jnp.where(accf[:, W:] > 0, acc_vals, base_c)),
+            (acc_t, acc_monu),
             bounds=bounds, chunk=min(256, Kp), interpret=interpret,
         )
         return new_table, SparseAdamPackedState(monu=new_monu, count=count)

@@ -479,13 +479,6 @@ def two_phase_sparse_adam_unique(
             widen(new_nu, jnp.float32).astype(jnp.bfloat16),
         )  # [K, W] f32 container
         own = widen(jnp.broadcast_to(r, (K, dim)), jnp.float32)  # 1.0 owned
-        vals_i = jnp.where(
-            own > 0, jax.lax.bitcast_convert_type(vals_c, jnp.int32), 0
-        )
-        acc_vals = jax.lax.bitcast_convert_type(
-            jnp.zeros((Kp, row_width), jnp.int32).at[pinv].add(vals_i),
-            jnp.float32,
-        )
         if use_pallas:
             from ..ops.pallas_scatter import pallas_rows_write
 
@@ -495,26 +488,44 @@ def two_phase_sparse_adam_unique(
                 sup = jnp.take(
                     table, flat_ids // P if P > 1 else flat_ids, axis=0
                 )
-            # ONE wide f32 scatter-add builds new-table-rows || own-mask:
-            # the prep (physical-first) contributor folds the old row in,
-            # so no separate base set-scatter exists.  Exact: each lane
-            # sums at most {owner delta, prep old} and f32 addition is
-            # commutative.  The monu base rides a GATHER (overlappable)
-            # instead of a scatter.
+            # Old-row fold with NO [Kp, W] monu base gather and NO own-mask
+            # accumulation lanes: the old container rows are already in hand
+            # from the phase-1 moment gather (sup_c), so each owned lane
+            # rides as a WRAPPING int32 delta (new_bits - old_bits) and the
+            # prep (physical-first) contributor adds the whole old row.
+            # Per lane the accumulated sum is old + (new - old) = new when
+            # owned (at most one owner per lane — colliding logical ids
+            # occupy disjoint lanes and rep masks duplicates) and old
+            # otherwise; int32 addition is exact modular arithmetic, so no
+            # bitpattern can be corrupted.  The table buffer folds its old
+            # rows the same way in f32 (each lane sums at most {owner
+            # delta, prep old}).
             pr = prep[:, None]
-            wide_t = acc_contrib(d_table)
-            accf = jnp.zeros((Kp, 2 * row_width), jnp.float32).at[pinv].add(
-                jnp.concatenate([wide_t + sup * pr, own], axis=1)
+            old_i = jax.lax.bitcast_convert_type(sup_c, jnp.int32)
+            new_i = jax.lax.bitcast_convert_type(vals_c, jnp.int32)
+            contrib_i = (
+                jnp.where(own > 0, new_i - old_i, 0)
+                + prep.astype(jnp.int32)[:, None] * old_i
             )
-            vals_t = accf[:, :row_width]
-            mask_u = accf[:, row_width:]
-            base_c = jnp.take(state.monu, pids, axis=0)
+            acc_monu = jax.lax.bitcast_convert_type(
+                jnp.zeros((Kp, row_width), jnp.int32).at[pinv].add(contrib_i),
+                jnp.float32,
+            )
+            acc_t = jnp.zeros((Kp, row_width), jnp.float32).at[pinv].add(
+                acc_contrib(d_table) + sup * pr
+            )
             table, monu = pallas_rows_write(
-                (table, state.monu), pids,
-                (vals_t, jnp.where(mask_u > 0, acc_vals, base_c)),
+                (table, state.monu), pids, (acc_t, acc_monu),
                 n_real=n_real, chunk=min(chunk, Kp), interpret=interpret,
             )
         else:
+            vals_i = jnp.where(
+                own > 0, jax.lax.bitcast_convert_type(vals_c, jnp.int32), 0
+            )
+            acc_vals = jax.lax.bitcast_convert_type(
+                jnp.zeros((Kp, row_width), jnp.int32).at[pinv].add(vals_i),
+                jnp.float32,
+            )
             kw = dict(unique_indices=True)
             acc_mask = jnp.zeros(
                 (Kp, row_width), jnp.float32).at[pinv].add(own)
