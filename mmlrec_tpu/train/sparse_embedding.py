@@ -497,22 +497,41 @@ def two_phase_sparse_adam_unique(
             # owned (at most one owner per lane — colliding logical ids
             # occupy disjoint lanes and rep masks duplicates) and old
             # otherwise; int32 addition is exact modular arithmetic, so no
-            # bitpattern can be corrupted.  The table buffer folds its old
-            # rows the same way in f32 (each lane sums at most {owner
-            # delta, prep old}).
+            # bitpattern can be corrupted.  The TABLE buffer rides the SAME
+            # int32 fold: the owner computes its lanes' complete new f32
+            # value old + delta FIRST (sup[k] holds the old physical row —
+            # bit-identical at every k of the row), then contributes the
+            # wrapping bit-delta, so the result is bitwise equal to the f32
+            # scatter-sum it replaces (f32 add of the same two values).
+            # That makes both buffers int32 with one contributor chain per
+            # lane, so they merge into ONE [K, 2W] scatter — scatter cost
+            # on this backend is per-OP, not per-byte (2.2x on the
+            # accumulation portion, probe_acc_scatter_width.py).
             pr = prep[:, None]
             old_i = jax.lax.bitcast_convert_type(sup_c, jnp.int32)
             new_i = jax.lax.bitcast_convert_type(vals_c, jnp.int32)
-            contrib_i = (
+            contrib_monu_i = (
                 jnp.where(own > 0, new_i - old_i, 0)
                 + prep.astype(jnp.int32)[:, None] * old_i
             )
-            acc_monu = jax.lax.bitcast_convert_type(
-                jnp.zeros((Kp, row_width), jnp.int32).at[pinv].add(contrib_i),
-                jnp.float32,
+            old_ti = jax.lax.bitcast_convert_type(sup, jnp.int32)
+            new_t = sup + acc_contrib(d_table)
+            contrib_t_i = (
+                jnp.where(
+                    own > 0,
+                    jax.lax.bitcast_convert_type(new_t, jnp.int32) - old_ti,
+                    0,
+                )
+                + prep.astype(jnp.int32)[:, None] * old_ti
             )
-            acc_t = jnp.zeros((Kp, row_width), jnp.float32).at[pinv].add(
-                acc_contrib(d_table) + sup * pr
+            acc2 = jnp.zeros((Kp, 2 * row_width), jnp.int32).at[pinv].add(
+                jnp.concatenate([contrib_t_i, contrib_monu_i], axis=1)
+            )
+            acc_t = jax.lax.bitcast_convert_type(
+                acc2[:, :row_width], jnp.float32
+            )
+            acc_monu = jax.lax.bitcast_convert_type(
+                acc2[:, row_width:], jnp.float32
             )
             table, monu = pallas_rows_write(
                 (table, state.monu), pids, (acc_t, acc_monu),
