@@ -23,6 +23,11 @@ REF = "/root/reference"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+if os.environ.get("MMLREC_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["MMLREC_PLATFORM"])
+
 N_TRAIN, N_TEST = 30000, 10000
 SEEDS = [0, 2, 4, 8]
 MODELS = ["sharedbottom", "mmoe", "esmm", "ple"]

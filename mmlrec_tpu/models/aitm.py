@@ -14,6 +14,11 @@ class AITM(RecModel):
     fused with g(feat[i-1]) via 2-token attention (reference
     model/aitm.py:78-110; requires exactly 2 tasks, :31)."""
 
+    # reference aitm.py:60-62 (tower_dnn), :71-75 (bottom +
+    # tower_dnn_final_layer); the attention h1/h2/h3 and g transforms are
+    # NOT registered
+    REG_DNN_PREFIXES = ("bottom", "tower_dnn", "tower_final")
+
     @nn.compact
     def __call__(self, ids, dense, domain_mask=None, *, train: bool = False):
         mc = self.mc
@@ -56,5 +61,5 @@ class AITM(RecModel):
             tower = feats
         logits = StackedDense(stack=T, features=1, use_bias=False,
                               name="tower_final")(tower)[..., 0]
-        probs = self.make_heads()(logits)
+        probs = self.make_heads()(logits + self.wide_logit(ids, dense))
         return self.apply_domain_mask(probs, domain_mask)

@@ -97,6 +97,10 @@ class APG(RecModel):
     """APG model (reference model/apg.py:128-193): stack of APGLayers fed by
     the detached scene embedding; per-task final linears."""
 
+    # reference apg.py has NO add_regularization_weight call: only the
+    # embeddings (basemodel.py:129) are L2-penalized
+    REG_DNN_PREFIXES = ()
+
     @nn.compact
     def __call__(self, ids, dense, domain_mask=None, *, train: bool = False):
         mc, dc = self.mc, self.dc
@@ -128,5 +132,5 @@ class APG(RecModel):
 
         logits = StackedDense(stack=T, features=1, use_bias=False,
                               name="final_layer")(x)[..., 0]
-        probs = self.make_heads()(logits)
+        probs = self.make_heads()(logits + self.wide_logit(ids, dense))
         return self.apply_domain_mask(probs, domain_mask)

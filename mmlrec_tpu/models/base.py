@@ -16,7 +16,7 @@ pass ``linear_feature_columns=[]``) is intentionally not replicated.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import ClassVar, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..config import ExperimentConfig
 from ..features import FeatureLayout
 from ..ops.embedding import EmbeddingCollection
-from ..ops.layers import PredictionHeads, sequence_pooling
+from ..ops.layers import PredictionHeads, WideLinear, sequence_pooling
 
 
 def overwrite(prev, new):
@@ -38,6 +38,15 @@ class RecModel(nn.Module):
     layout: FeatureLayout
     cfg: ExperimentConfig
     init_std: float = 1e-4
+
+    # Per-model ``l2_reg_dnn`` inclusion set, mirroring the reference's
+    # idiosyncratic add_regularization_weight registrations (see
+    # train/losses.py::l2_regularization).  Top-level param-group name
+    # prefixes whose ``kernel`` leaves are penalized.  The default ()
+    # means embeddings-only — the reference's STAR/APG/PepNet register no
+    # DNN weights at all (no add_regularization_weight call in
+    # model/star.py, model/apg.py, model/pepnet.py).
+    REG_DNN_PREFIXES: ClassVar[Tuple[str, ...]] = ()
 
     # ---- config shortcuts -------------------------------------------------
     @property
@@ -110,6 +119,24 @@ class RecModel(nn.Module):
 
     def make_heads(self) -> PredictionHeads:
         return PredictionHeads(task_types=self.task_types, name="out")
+
+    def wide_logit(self, ids, dense):
+        """Opt-in wide/linear term (reference ``Linear``, basemodel.py:14-66
+        — dead code there: constructed but never invoked, and every model
+        passes ``linear_feature_columns=[]``).  With ``model_config
+        .use_wide_linear: true`` this returns a [B, 1] LR logit added to
+        every head pre-sigmoid; otherwise 0.0 so call sites can add it
+        unconditionally."""
+        if not self.mc.extra.get("use_wide_linear"):
+            return 0.0
+        return WideLinear(
+            vocab_sizes=tuple(
+                s.feature.vocabulary_size for s in self.layout.sparse_slots
+            ),
+            n_dense=self.layout.num_dense_dims,
+            init_std=self.init_std,
+            name="wide_linear",
+        )(ids, dense)
 
     def apply_domain_mask(self, probs: jnp.ndarray, domain_mask) -> jnp.ndarray:
         """Per-head domain gating (reference epilogue, e.g. model/mmoe.py:101-106).

@@ -13,6 +13,10 @@ class CrossStitch(RecModel):
     cross-stitch mixing matrix between layers (reference
     model/cross_stitch.py:30-121)."""
 
+    # reference cross_stitch.py:70-72: ONLY the tower DNN is registered;
+    # shared/task layers, cross-stitch matrices and the final layers are not
+    REG_DNN_PREFIXES = ("tower_dnn",)
+
     @nn.compact
     def __call__(self, ids, dense, domain_mask=None, *, train: bool = False):
         mc = self.mc
@@ -59,5 +63,5 @@ class CrossStitch(RecModel):
             tower = x
         logits = StackedDense(stack=T, features=1, use_bias=False,
                               name="tower_final")(tower)[..., 0]
-        probs = self.make_heads()(logits)
+        probs = self.make_heads()(logits + self.wide_logit(ids, dense))
         return self.apply_domain_mask(probs, domain_mask)

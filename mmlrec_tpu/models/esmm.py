@@ -16,6 +16,9 @@ class ESMM(RecModel):
     like the reference.  Both heads share ONE scalar output bias
     (reference uses the base class's single ``self.out``)."""
 
+    # reference esmm.py:38-43: ctr/cvr DNNs + their final layers
+    REG_DNN_PREFIXES = ("ctr_dnn", "cvr_dnn", "ctr_final", "cvr_final")
+
     @nn.compact
     def __call__(self, ids, dense, domain_mask=None, *, train: bool = False):
         mc = self.mc
@@ -40,8 +43,10 @@ class ESMM(RecModel):
         self.sow("intermediates", "target1_output", cvr_h, reduce_fn=overwrite)
 
         bias = self.param("out_bias", nn.initializers.zeros, (1,))
-        ctr_pred = jax.nn.sigmoid(ctr_logit + bias[0])
-        cvr_pred = jax.nn.sigmoid(cvr_logit + bias[0])
+        wide = self.wide_logit(ids, dense)
+        wide = wide[:, 0] if not isinstance(wide, float) else wide
+        ctr_pred = jax.nn.sigmoid(ctr_logit + bias[0] + wide)
+        cvr_pred = jax.nn.sigmoid(cvr_logit + bias[0] + wide)
         return jnp.stack([ctr_pred, ctr_pred * cvr_pred], axis=-1)
 
 
@@ -49,6 +54,10 @@ class ESCM(RecModel):
     """ESCM^2: ESMM towers with outputs [pCTR, pCVR, pCTCVR] (+ pIMP for
     'escm_dr'); the IPW counterfactual CVR loss lives in
     train/losses.py (reference model/escm.py:74-111)."""
+
+    # reference escm.py:66-71: ctr/cvr DNNs + their final layers (the
+    # escm_dr imp tower is NOT registered in the reference either)
+    REG_DNN_PREFIXES = ("ctr_dnn", "cvr_dnn", "ctr_final", "cvr_final")
 
     @nn.compact
     def __call__(self, ids, dense, domain_mask=None, *, train: bool = False):
@@ -69,9 +78,11 @@ class ESCM(RecModel):
             return nn.Dense(1, use_bias=False, name=f"{name}_final")(h)[:, 0]
 
         bias = self.param("out_bias", nn.initializers.zeros, (1,))
-        ctr_pred = jax.nn.sigmoid(tower("ctr") + bias[0])
-        cvr_pred = jax.nn.sigmoid(tower("cvr") + bias[0])
+        wide = self.wide_logit(ids, dense)
+        wide = wide[:, 0] if not isinstance(wide, float) else wide
+        ctr_pred = jax.nn.sigmoid(tower("ctr") + bias[0] + wide)
+        cvr_pred = jax.nn.sigmoid(tower("cvr") + bias[0] + wide)
         outs = [ctr_pred, cvr_pred, ctr_pred * cvr_pred]
         if mc.model_name == "escm_dr":
-            outs.append(jax.nn.sigmoid(tower("imp") + bias[0]))
+            outs.append(jax.nn.sigmoid(tower("imp") + bias[0] + wide))
         return jnp.stack(outs, axis=-1)

@@ -14,6 +14,11 @@ class HMOE(RecModel):
     """MMoE backbone + per-task softmax weighting over ALL tasks' tower
     outputs, other tasks detached (reference model/hmoe.py:108-133)."""
 
+    # reference hmoe.py:39-41 (gate_dnn), :51-53 (tower_dnn), :61-63
+    # (task_weight), :77-80 (expert_dnn + gate/task_weight/tower finals)
+    REG_DNN_PREFIXES = ("gate_dnn", "tower_dnn", "task_weight", "expert_dnn",
+                        "gate_final", "tower_final", "task_weight_final")
+
     @nn.compact
     def __call__(self, ids, dense, domain_mask=None, *, train: bool = False):
         mc = self.mc
@@ -98,5 +103,5 @@ class HMOE(RecModel):
 
         logits = StackedDense(stack=T, features=1, use_bias=False,
                               name="tower_final")(task_inputs)[..., 0]
-        probs = self.make_heads()(logits)
+        probs = self.make_heads()(logits + self.wide_logit(ids, dense))
         return self.apply_domain_mask(probs, domain_mask)

@@ -15,6 +15,10 @@ class MLP(RecModel):
     model/mlp.py:24-29, forward :36-66).  Stashes dnn_input / last_layer for
     the CKA loss (reference :40, :47)."""
 
+    # reference mlp.py:31-33: only mlp_layers weights (NOT the shared
+    # final layer) get l2_reg_dnn
+    REG_DNN_PREFIXES = ("mlp_layer_",)
+
     @nn.compact
     def __call__(self, ids, dense, domain_mask=None, *, train: bool = False):
         mc = self.mc
@@ -35,5 +39,5 @@ class MLP(RecModel):
 
         logit = nn.Dense(1, use_bias=False, name="final_layer")(x)  # [B, 1]
         logits = jnp.broadcast_to(logit, (logit.shape[0], self.num_tasks))
-        probs = self.make_heads()(logits)
+        probs = self.make_heads()(logits + self.wide_logit(ids, dense))
         return self.apply_domain_mask(probs, domain_mask)

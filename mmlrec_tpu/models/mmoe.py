@@ -17,6 +17,11 @@ class MMOE(RecModel):
     (:78-99) are one StackedMLP + einsum each here.
     """
 
+    # reference mmoe.py:36-38 (gate_dnn), :49-51 (tower_dnn), :59-62
+    # (expert_dnn + gate/tower final layers)
+    REG_DNN_PREFIXES = ("gate_dnn", "tower_dnn", "expert_dnn",
+                        "gate_final", "tower_final")
+
     @nn.compact
     def __call__(self, ids, dense, domain_mask=None, *, train: bool = False):
         mc = self.mc
@@ -72,5 +77,5 @@ class MMOE(RecModel):
         logits = StackedDense(
             stack=self.num_tasks, features=1, use_bias=False, name="tower_final"
         )(tower)[..., 0]
-        probs = self.make_heads()(logits)
+        probs = self.make_heads()(logits + self.wide_logit(ids, dense))
         return self.apply_domain_mask(probs, domain_mask)

@@ -34,6 +34,10 @@ class PepNet(RecModel):
     layer element-gated by GateNN(detached input ++ scene/user/item embs)
     (reference model/pepnet.py:81-157)."""
 
+    # reference pepnet.py has NO add_regularization_weight call: only the
+    # embeddings (basemodel.py:129) are L2-penalized
+    REG_DNN_PREFIXES = ()
+
     @nn.compact
     def __call__(self, ids, dense, domain_mask=None, *, train: bool = False):
         mc, dc = self.mc, self.dc
@@ -89,5 +93,5 @@ class PepNet(RecModel):
         gated = hidden * gw if hidden.ndim == 3 else hidden[:, None, :] * gw
         logits = StackedDense(stack=T, features=1, name="mlp_final")(gated)[..., 0]
 
-        probs = self.make_heads()(logits)
+        probs = self.make_heads()(logits + self.wide_logit(ids, dense))
         return self.apply_domain_mask(probs, domain_mask)

@@ -22,6 +22,13 @@ class PLE(RecModel):
     dead parameters in the reference).
     """
 
+    # reference ple.py:57-59 (specific_gate_dnn), :74-76 (shared_gate_dnn),
+    # :89-91 (tower_dnn), :99-103 (specific/shared experts + all final layers)
+    REG_DNN_PREFIXES = ("specific_gate_dnn", "shared_gate_dnn", "tower_dnn",
+                        "specific_experts", "shared_experts",
+                        "specific_gate_final", "shared_gate_final",
+                        "tower_final")
+
     @nn.compact
     def __call__(self, ids, dense, domain_mask=None, *, train: bool = False):
         mc = self.mc
@@ -126,5 +133,5 @@ class PLE(RecModel):
             tower = ple_outputs
         logits = StackedDense(stack=T, features=1, use_bias=False,
                               name="tower_final")(tower)[..., 0]
-        probs = self.make_heads()(logits)
+        probs = self.make_heads()(logits + self.wide_logit(ids, dense))
         return self.apply_domain_mask(probs, domain_mask)

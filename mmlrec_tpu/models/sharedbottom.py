@@ -12,6 +12,10 @@ class SharedBottom(RecModel):
     """One shared bottom MLP -> per-task towers -> per-task 1-unit heads
     (reference model/sharedbottom.py:28-49, forward :52-86)."""
 
+    # reference sharedbottom.py:36-49: tower_dnn + bottom_dnn +
+    # tower_dnn_final_layer weights get l2_reg_dnn
+    REG_DNN_PREFIXES = ("bottom_dnn", "tower_dnn", "tower_final")
+
     @nn.compact
     def __call__(self, ids, dense, domain_mask=None, *, train: bool = False):
         mc = self.mc
@@ -45,5 +49,5 @@ class SharedBottom(RecModel):
         logits = StackedDense(
             stack=self.num_tasks, features=1, use_bias=False, name="tower_final"
         )(tower)[..., 0]
-        probs = self.make_heads()(logits)
+        probs = self.make_heads()(logits + self.wide_logit(ids, dense))
         return self.apply_domain_mask(probs, domain_mask)

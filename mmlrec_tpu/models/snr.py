@@ -76,12 +76,16 @@ class _SNRBase(RecModel):
             tower = x
         logits = StackedDense(stack=T, features=1, use_bias=False,
                               name="tower_final")(tower)[..., 0]
-        probs = self.make_heads()(logits)
+        probs = self.make_heads()(logits + self.wide_logit(ids, dense))
         return self.apply_domain_mask(probs, domain_mask)
 
 
 class SNRTrans(_SNRBase):
     """SNR with transform routing (reference model/snr_trans.py:52-157)."""
+
+    # reference snr_trans.py:108-110: ONLY the tower DNN gets l2_reg_dnn
+    # (expert trans layers, gates, and final layers are not registered)
+    REG_DNN_PREFIXES = ("tower_dnn",)
 
     elementwise: bool = False
     freeze_u: bool = False  # SNR registers u + alpha (only trans is frozen)
@@ -89,6 +93,9 @@ class SNRTrans(_SNRBase):
 
 class MSSM(_SNRBase):
     """MSSM: field-level sparse sharing (reference model/mssm.py:62-180)."""
+
+    # reference mssm.py:129-131: ONLY the tower DNN gets l2_reg_dnn
+    REG_DNN_PREFIXES = ("tower_dnn",)
 
     elementwise: bool = True
     freeze_u: bool = True  # reference MSSM registers neither u nor trans

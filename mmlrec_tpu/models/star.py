@@ -22,6 +22,10 @@ class STAR(RecModel):
     domain_mask is nulled by the always-true-conditional bug (SURVEY §2.4.1).
     """
 
+    # reference star.py has NO add_regularization_weight call: only the
+    # embeddings (basemodel.py:129) are L2-penalized
+    REG_DNN_PREFIXES = ()
+
     @nn.compact
     def __call__(self, ids, dense, domain_mask=None, *, train: bool = False):
         mc = self.mc
@@ -76,5 +80,5 @@ class STAR(RecModel):
             logits.append(out_i[:, i, 0])
         logits = jnp.stack(logits, axis=-1)
         self.sow("intermediates", "last_layer", x[:, -1], reduce_fn=overwrite)
-        probs = self.make_heads()(logits)
+        probs = self.make_heads()(logits + self.wide_logit(ids, dense))
         return self.apply_domain_mask(probs, domain_mask)

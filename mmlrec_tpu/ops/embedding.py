@@ -28,6 +28,34 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _padded_normal_init(std: float, total_logical: int, pack_factor: int, dim: int):
+    """normal(std) for the real vocab rows, EXACT ZERO for padding rows.
+
+    Padding rows are never gathered, so zero-init keeps them zero forever
+    (their grad is identically 0; the dense-Adam L2 term is 2*l2*0).  This
+    matters for L2 parity: the reference regularizes sum-of-squares over the
+    exact per-feature tables (basemodel.py:129), so randomly-initialized pad
+    rows would inflate the embedding penalty by rows_padded/rows_real
+    (caught by tests/test_loss_parity.py).  Real rows draw the SAME normals
+    as a plain normal_init with the same key, so transplant parity tests are
+    unaffected.
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        x = jax.random.normal(key, shape, dtype) * std
+        if pack_factor == 1:
+            mask = (jnp.arange(shape[0]) < total_logical)[:, None]
+        else:
+            logical = (
+                jnp.arange(shape[0])[:, None] * pack_factor
+                + (jnp.arange(shape[1]) // dim)[None, :]
+            )
+            mask = logical < total_logical
+        return jnp.where(mask, x, jnp.zeros((), dtype))
+
+    return init
+
+
 def pack_factor_for(
     total_rows: int,
     dim: int,
@@ -99,7 +127,11 @@ class FusedEmbedding(nn.Module):
             shape = (self._rows // self.pack_factor, self.pack_lanes)
         else:
             shape = (self._rows, self.dim)
-        self.table = self.param("table", normal_init(self.init_std), shape)
+        self.table = self.param(
+            "table",
+            _padded_normal_init(self.init_std, total, self.pack_factor, self.dim),
+            shape,
+        )
 
     def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
         """ids: int32 [B, F] (per-feature local ids) -> [B, F, dim]."""

@@ -223,6 +223,54 @@ class PredictionHeads(nn.Module):
         return is_binary * jax.nn.sigmoid(out) + (1.0 - is_binary) * out
 
 
+class WideLinear(nn.Module):
+    """LR-style wide/linear logit (reference ``Linear``, basemodel.py:14-66).
+
+    Per-sparse-feature 1-dim embeddings summed + dense values through a
+    single [Dd, 1] weight -> [B, 1] logit.  In the reference this module is
+    constructed in every model but NEVER invoked in any forward (and every
+    model passes ``linear_feature_columns=[]``, e.g. model/mmoe.py:10), so
+    it has zero runtime effect there.  Here it is the opt-in inventory
+    close-out: ``model_config.use_wide_linear: true`` adds this logit to
+    every head pre-sigmoid (the standard wide&deep composition the dead
+    code was clearly intended for).  Varlen features are not supported
+    (the reference's ``ctrdataset`` never produces one, SURVEY §2.4.6).
+
+    One fused [total_vocab, 1] table instead of the reference's per-feature
+    ``nn.Embedding(vocab, 1)`` dict — same init (normal, std init_std),
+    same math (sum over features of the gathered scalars).
+    """
+
+    vocab_sizes: Tuple[int, ...]
+    n_dense: int
+    init_std: float = 1e-4
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray, dense: Optional[jnp.ndarray]) -> jnp.ndarray:
+        B = ids.shape[0] if ids is not None else dense.shape[0]
+        logit = jnp.zeros((B, 1), jnp.float32)
+        if self.vocab_sizes:
+            offsets = jnp.asarray(
+                [0] + list(jnp.cumsum(jnp.asarray(self.vocab_sizes))[:-1]),
+                jnp.int32,
+            )
+            table = self.param(
+                "table",
+                normal_init(self.init_std),
+                (int(sum(self.vocab_sizes)), 1),
+            )
+            flat = ids[:, : len(self.vocab_sizes)] + offsets[None, :]
+            # [B, F] gathered scalars summed over features
+            logit = logit + jnp.sum(jnp.take(table[:, 0], flat, axis=0),
+                                    axis=1, keepdims=True)
+        if self.n_dense:
+            kernel = self.param(
+                "kernel", normal_init(self.init_std), (self.n_dense, 1)
+            )
+            logit = logit + dense[:, : self.n_dense] @ kernel
+        return logit
+
+
 class CrossStitchLayer(nn.Module):
     """Learned (sum(D_i) x sum(D_i)) mixing matrix, identity-init
     (reference model/cross_stitch.py:7-27).  Input/output [B, T, F]."""

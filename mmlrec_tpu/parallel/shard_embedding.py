@@ -275,15 +275,34 @@ def sharded_two_phase_sparse_adam_pallas(
         # and are never written.
         old_i = jax.lax.bitcast_convert_type(sup_c, jnp.int32)
         new_i = jax.lax.bitcast_convert_type(vals_c, jnp.int32)
-        contrib_i = (
+        contrib_monu_i = (
             jnp.where(own > 0, new_i - old_i, 0)
             + prep.astype(jnp.int32)[:, None] * old_i
         )
-        acc_monu = jax.lax.bitcast_convert_type(
-            jnp.zeros((Kp, W), jnp.int32).at[pinv].add(contrib_i),
-            jnp.float32)
-        acc_t = jnp.zeros((Kp, W), jnp.float32).at[pinv].add(
-            widen(d_table) + sup * pr)
+        # The TABLE buffer rides the SAME int32 bit-delta fold as the
+        # single-device path (train/sparse_embedding.py): the owner
+        # computes its lanes' complete new f32 value old + delta first
+        # (sup[k] holds the old physical row, bit-identical at every
+        # owned k; non-owned rows see sup = 0 but their slots lie outside
+        # the bounds window), then contributes the wrapping bit-delta.
+        # Both buffers then merge into ONE [Kp, 2W] int32 scatter —
+        # scatter cost on this backend is per-OP, not per-byte
+        # (probe_acc_scatter_width.py).
+        old_ti = jax.lax.bitcast_convert_type(sup, jnp.int32)
+        new_t = sup + widen(d_table)
+        contrib_t_i = (
+            jnp.where(
+                own > 0,
+                jax.lax.bitcast_convert_type(new_t, jnp.int32) - old_ti,
+                0,
+            )
+            + prep.astype(jnp.int32)[:, None] * old_ti
+        )
+        acc2 = jnp.zeros((Kp, 2 * W), jnp.int32).at[pinv].add(
+            jnp.concatenate([contrib_t_i, contrib_monu_i], axis=1)
+        )
+        acc_t = jax.lax.bitcast_convert_type(acc2[:, :W], jnp.float32)
+        acc_monu = jax.lax.bitcast_convert_type(acc2[:, W:], jnp.float32)
         new_table, new_monu = pallas_rows_write(
             (table_shard, state.monu), local_pids,
             (acc_t, acc_monu),

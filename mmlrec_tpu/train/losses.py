@@ -77,7 +77,13 @@ def escm_loss(
     o = y[:, 0] * w
     ps = jnp.maximum(probs[:, 0] * ctr_num, 1e-6)
     ips = jnp.clip(1.0 / ps, -15.0, 15.0)
-    batch_size = jnp.sum(jnp.ones_like(o))  # includes padding, like a full batch
+    # The reference multiplies ips by the true batch length and then takes a
+    # mean over the same length (escm.py:104-111), so the length cancels:
+    # result == loss_1 * sum_b clip(1/ps_b) * o_b.  Here the padded length B
+    # cancels identically (padded rows have o == 0 and contribute nothing),
+    # so this is EXACT for any last-batch size — pinned by
+    # tests/test_losses.py::test_escm_loss_partial_batch_parity.
+    batch_size = jnp.sum(jnp.ones_like(o))
     ips = ips * batch_size
     loss_1 = jnp.mean(loss_1 * ips * o)
     return loss_0 + counterfactual_w * loss_1 + global_w * loss_2
@@ -153,29 +159,61 @@ def per_task_losses(
     return jnp.stack(out)
 
 
-def l2_regularization(params, l2_embedding: float, l2_dnn: float) -> jnp.ndarray:
+def l2_regularization(
+    params,
+    l2_embedding: float,
+    l2_dnn: float,
+    dnn_prefixes: Optional[Sequence[str]] = None,
+    l2_linear: float = 0.0,
+) -> jnp.ndarray:
     """L2 penalty (reference get_regularization_loss, basemodel.py:524-540).
 
-    Embedding tables get ``l2_reg_embedding``; every other kernel-like
-    weight (names 'kernel', 'trans', cross-stitch / shared-specific
-    kernels) gets ``l2_reg_dnn``.  Biases and norm scales are excluded,
-    matching the reference's 'weight in name and bn not in name' filters
-    (e.g. model/mmoe.py:36-38, :59-62).
+    Embedding tables always get ``l2_reg_embedding`` (reference
+    basemodel.py:129 registers the whole embedding_dict).
+
+    The ``l2_reg_dnn`` inclusion set is model-specific in the reference:
+    each model registers an idiosyncratic list of modules via
+    ``add_regularization_weight(filter('weight' in name and 'bn' not in
+    name, module.named_parameters()))`` — e.g. MMoE registers
+    gate/tower/expert DNNs + final layers (model/mmoe.py:36-62) while
+    SNR/MSSM register ONLY the tower DNN (model/snr_trans.py:108-110,
+    model/mssm.py:129-131) and STAR/APG/PepNet register nothing at all.
+
+    ``dnn_prefixes`` carries that per-model set (each model's
+    ``REG_DNN_PREFIXES``): a leaf is penalized iff its top-level module
+    name starts with one of the prefixes and the leaf is a ``kernel``
+    (the reference's 'weight'-named filter == kernels, never biases).
+    ``dnn_prefixes=None`` falls back to the round-1 global heuristic
+    (every kernel-like weight) — opt-in via ``l2_reg_inclusion:
+    "all_kernels"``.
     """
     emb_loss = 0.0
     dnn_loss = 0.0
+    lin_loss = 0.0
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     for path, leaf in flat:
         keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
         path_str = "/".join(str(k) for k in keys)
+        if keys and str(keys[0]) == "wide_linear":
+            # opt-in wide term: the reference registers the Linear module's
+            # params at l2_reg_linear (basemodel.py:130)
+            if l2_linear:
+                lin_loss = lin_loss + jnp.sum(jnp.square(leaf))
+            continue
         if "embeddings" in path_str or "table" in path_str:
             if l2_embedding:
                 emb_loss = emb_loss + jnp.sum(jnp.square(leaf))
             continue
-        is_kernel = any(
-            k in path_str
-            for k in ("kernel", "trans", "cross_stitch_weight", "w_")
-        ) and not path_str.endswith("bias")
-        if is_kernel and l2_dnn:
+        if dnn_prefixes is not None:
+            top = str(keys[0]) if keys else ""
+            include = str(keys[-1]) == "kernel" and any(
+                top.startswith(pref) for pref in dnn_prefixes
+            )
+        else:
+            include = any(
+                k in path_str
+                for k in ("kernel", "trans", "cross_stitch_weight", "w_")
+            ) and not path_str.endswith("bias")
+        if include and l2_dnn:
             dnn_loss = dnn_loss + jnp.sum(jnp.square(leaf))
-    return l2_embedding * emb_loss + l2_dnn * dnn_loss
+    return l2_embedding * emb_loss + l2_dnn * dnn_loss + l2_linear * lin_loss

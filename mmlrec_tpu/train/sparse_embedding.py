@@ -504,7 +504,7 @@ def two_phase_sparse_adam_unique(
             # wrapping bit-delta, so the result is bitwise equal to the f32
             # scatter-sum it replaces (f32 add of the same two values).
             # That makes both buffers int32 with one contributor chain per
-            # lane, so they merge into ONE [K, 2W] scatter — scatter cost
+            # lane, so they merge into ONE [Kp, 2W] scatter — scatter cost
             # on this backend is per-OP, not per-byte (2.2x on the
             # accumulation portion, probe_acc_scatter_width.py).
             pr = prep[:, None]

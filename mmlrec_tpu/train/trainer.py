@@ -82,6 +82,15 @@ class Trainer:
         self.num_domains = self.cfg.data_config.num_domains
         self.model_name = mc.model_name
         self.is_pcgrad = self.model_name == "pcg"
+        # l2_reg_dnn inclusion set: default = the reference's per-model
+        # registration (model REG_DNN_PREFIXES; pinned per family by
+        # tests/test_loss_parity.py).  ``l2_reg_inclusion: "all_kernels"``
+        # opts back into the round-1 global kernel heuristic.
+        self._reg_dnn_prefixes = (
+            None
+            if mc.extra.get("l2_reg_inclusion") == "all_kernels"
+            else getattr(model, "REG_DNN_PREFIXES", None)
+        )
         # on-device validation metrics (train/device_metrics.py): fuse the
         # regime metrics into the jitted eval program so only scalars cross
         # the host boundary instead of the [N_test, H] prediction matrix
@@ -393,7 +402,9 @@ class Trainer:
                 mc.loss_weights if mc.extra.get("use_loss_weights") else None
             ),
         )
-        reg = l2_regularization(params, mc.l2_reg_embedding, mc.l2_reg_dnn)
+        reg = l2_regularization(params, mc.l2_reg_embedding, mc.l2_reg_dnn,
+                                dnn_prefixes=self._reg_dnn_prefixes,
+                                l2_linear=mc.l2_reg_linear)
         cka = 0.0
         if want_cka:
             inter = mutated.get("intermediates", {})
@@ -472,7 +483,10 @@ class Trainer:
                 mc.loss_weights if mc.extra.get("use_loss_weights") else None
             ),
         )
-        reg = reg_scale * l2_regularization(rest, mc.l2_reg_embedding, mc.l2_reg_dnn)
+        reg = reg_scale * l2_regularization(
+            rest, mc.l2_reg_embedding, mc.l2_reg_dnn,
+            dnn_prefixes=self._reg_dnn_prefixes,
+            l2_linear=mc.l2_reg_linear)
         if mc.l2_reg_embedding:
             flat_rows = rows.reshape(-1, rows.shape[-1])
             reg = reg + mc.l2_reg_embedding * jnp.sum(
@@ -925,7 +939,9 @@ class Trainer:
             model_name=self.model_name,
         )
         # spread the (task-agnostic) reg evenly across task objectives
-        reg = l2_regularization(params, mc.l2_reg_embedding, mc.l2_reg_dnn)
+        reg = l2_regularization(params, mc.l2_reg_embedding, mc.l2_reg_dnn,
+                                dnn_prefixes=self._reg_dnn_prefixes,
+                                l2_linear=mc.l2_reg_linear)
         total = data_loss + reg / max(self.num_tasks, 1)
         return total, (data_loss, mutated.get("batch_stats", batch_stats), probs)
 

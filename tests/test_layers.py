@@ -265,3 +265,27 @@ def test_mlp_bn_dropout_shapes():
     assert "batch_stats" in mutated
     y_eval = mod.apply(variables, x, train=False)
     assert y_eval.shape == (8, 3)
+
+
+def test_wide_linear_math():
+    """WideLinear (reference Linear, basemodel.py:14-66): sum of 1-dim
+    sparse embeddings + dense @ weight."""
+    import jax
+    import numpy as np
+    from mmlrec_tpu.ops.layers import WideLinear
+
+    rng = np.random.default_rng(0)
+    vocabs, n_dense, B = (5, 7), 3, 8
+    ids = jnp.asarray(rng.integers(0, 5, (B, 2)), jnp.int32)
+    dense = jnp.asarray(rng.random((B, n_dense)), jnp.float32)
+    m = WideLinear(vocab_sizes=vocabs, n_dense=n_dense)
+    v = m.init(jax.random.PRNGKey(0), ids, dense)
+    out = np.asarray(m.apply(v, ids, dense))
+    table = np.asarray(v["params"]["table"])[:, 0]
+    kernel = np.asarray(v["params"]["kernel"])
+    offsets = np.array([0, 5])
+    expect = (
+        table[np.asarray(ids) + offsets[None, :]].sum(1, keepdims=True)
+        + np.asarray(dense) @ kernel
+    )
+    np.testing.assert_allclose(out, expect, rtol=1e-6)

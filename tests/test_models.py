@@ -153,3 +153,51 @@ def test_models_gradients_flow(layout, batch):
     # embedding table receives gradient
     g_table = grads["embeddings"]["fused"]["table"]
     assert bool(jnp.any(g_table != 0))
+
+
+@pytest.mark.parametrize("name", sorted(set(MODEL_REGISTRY) - {"pcg", "escm_dr"}))
+def test_wide_linear_opt_in(name, layout, batch):
+    """use_wide_linear (opt-in inventory close-out of the reference's dead
+    Linear term, basemodel.py:14-66): creates a 'wide_linear' param group
+    whose table moves every head's output."""
+    cfg = _cfg(model_name=name)
+    cfg.model_config.extra["use_wide_linear"] = True
+    model = get_model(name, layout, cfg)
+    ids, dense = batch
+    v = model.init(jax.random.PRNGKey(0), ids, dense, None, train=False)
+    assert "wide_linear" in v["params"]
+    out = model.apply(v, ids, dense, None, train=False)
+    p2 = jax.tree.map(lambda x: x, v["params"])
+    p2["wide_linear"]["table"] = p2["wide_linear"]["table"] + 1.0
+    out2 = model.apply({**v, "params": p2}, ids, dense, None, train=False)
+    assert float(jnp.max(jnp.abs(out - out2))) > 1e-4
+
+
+def test_wide_linear_trains_with_l2(layout, batch):
+    """Wide term end-to-end: fit() with l2_reg_linear > 0 updates the wide
+    params (reference basemodel.py:130 registers them at l2_reg_linear)."""
+    from mmlrec_tpu.train import Trainer
+
+    cfg = _cfg(model_name="mmoe")
+    cfg.model_config.extra["use_wide_linear"] = True
+    cfg.model_config.l2_reg_linear = 1e-3
+    model = get_model("mmoe", layout, cfg)
+    tr = Trainer(model, seed=0).compile()
+    rng = np.random.default_rng(1)
+    n = 64
+    x_ids = rng.integers(0, VOCAB, (n, N_SPARSE)).astype(np.int32)
+    x_dense = rng.random((n, N_DENSE)).astype(np.float32)
+    y = rng.integers(0, 2, (n, 2)).astype(np.float32)
+    inputs = {f"s{i}": x_ids[:, i] for i in range(N_SPARSE)}
+    inputs.update({f"d{i}": x_dense[:, i] for i in range(N_DENSE)})
+    before = np.asarray(tr_init_table(tr, inputs, y))
+    tr.fit(inputs, y, batch_size=32, epochs=2, verbose=0)
+    after = np.asarray(tr.variables["params"]["wide_linear"]["table"])
+    assert np.abs(after - before).max() > 0
+
+
+def tr_init_table(tr, inputs, y):
+    # initialize params without training to snapshot the wide table
+    if tr.variables is None:
+        tr.fit(inputs, y, batch_size=32, epochs=0, verbose=0)
+    return tr.variables["params"]["wide_linear"]["table"]

@@ -109,6 +109,17 @@ def _copy_mlp(ref_dnn, ours, n_layers):
         _set(ref_dnn.linears[i].bias, np.asarray(ours[f"dense_{i}"]["bias"]))
 
 
+def _run_pair(name, ours_model, variables, ref_model):
+    """Forward comparison hook — tests/test_loss_parity.py monkeypatches
+    this to capture the transplanted (ours, variables, ref) triple."""
+    ids, dense, x_ref = _inputs()
+    ref_model.eval()
+    with torch.no_grad():
+        expect = ref_model(x_ref, None).numpy()
+    got = np.asarray(ours_model.apply(variables, ids, dense, None, train=False))
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-6, err_msg=name)
+
+
 def test_mmoe_forward_parity():
     from model.mmoe import MMOE as RefMMOE
 
@@ -135,10 +146,7 @@ def test_mmoe_forward_parity():
              np.asarray(p["tower_final"]["kernel"])[t].T)
         _set(ref.out[t].bias, np.asarray(p["out"]["bias"])[t : t + 1])
 
-    with torch.no_grad():
-        expect = ref(x_ref, None).numpy()
-    got = np.asarray(ours.apply(variables, ids, dense, None, train=False))
-    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-6)
+    _run_pair("mmoe", ours, variables, ref)
 
 
 def test_esmm_forward_parity():
@@ -163,10 +171,7 @@ def test_esmm_forward_parity():
     _set(ref.cvr_dnn_final_layer.weight, np.asarray(p["cvr_final"]["kernel"]).T)
     _set(ref.out.bias, np.asarray(p["out_bias"]))
 
-    with torch.no_grad():
-        expect = ref(x_ref, None).numpy()
-    got = np.asarray(ours.apply(variables, ids, dense, None, train=False))
-    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-6)
+    _run_pair("esmm", ours, variables, ref)
 
 
 def test_sharedbottom_forward_parity():
@@ -192,10 +197,7 @@ def test_sharedbottom_forward_parity():
              np.asarray(p["tower_final"]["kernel"])[t].T)
         _set(ref.out[t].bias, np.asarray(p["out"]["bias"])[t : t + 1])
 
-    with torch.no_grad():
-        expect = ref(x_ref, None).numpy()
-    got = np.asarray(ours.apply(variables, ids, dense, None, train=False))
-    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-6)
+    _run_pair("sharedbottom", ours, variables, ref)
 
 
 def test_ctrdataset_preprocessing_parity(tmp_path):
