@@ -99,18 +99,31 @@ def main() -> None:
                 continue
             import time
             t0 = time.time()
-            ref_auc = None if args.skip_ref else run_reference(config, seed)
+            ref_auc = ref_err = None
+            if not args.skip_ref:
+                try:
+                    ref_auc = run_reference(config, seed)
+                except Exception as e:  # e.g. reference training NaNs
+                    ref_err = f"{type(e).__name__}: {e}"[:200]
             t1 = time.time()
-            our_auc = run_ours(config, seed)
+            our_err = None
+            try:
+                our_auc = run_ours(config, seed)
+            except Exception as e:
+                our_auc, our_err = None, f"{type(e).__name__}: {e}"[:200]
             t2 = time.time()
             row = {
                 "key": key, "model": model_name, "seed": seed,
                 "epochs": args.epochs, "early_stop": args.early_stop,
                 "reference": ref_auc, "ours": our_auc,
-                "max_abs_diff": None if ref_auc is None else round(
-                    max(abs(a - b) for a, b in zip(ref_auc, our_auc)), 4),
+                "max_abs_diff": None if (ref_auc is None or our_auc is None)
+                else round(max(abs(a - b) for a, b in zip(ref_auc, our_auc)), 4),
                 "ref_s": round(t1 - t0, 1), "ours_s": round(t2 - t1, 1),
             }
+            if ref_err:
+                row["ref_error"] = ref_err
+            if our_err:
+                row["our_error"] = our_err
             with open(args.out, "a") as f:
                 f.write(json.dumps(row) + "\n")
             print(json.dumps(row), flush=True)

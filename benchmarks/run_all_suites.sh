@@ -1,23 +1,35 @@
 #!/bin/bash
-# Run every reference config suite end-to-end in synthetic mode (1 seed).
-# Produces reference-schema result CSVs under results/.
+# Run the full 12-config suite (configs/{mtl,msl,mtmsl}) end-to-end.
+# With real datasets under data/ this reproduces the reference benchmark
+# protocol; without them, SYNTHETIC=1 (default) trains on generated data
+# with each config's schema.  Produces reference-schema result CSVs under
+# results/.
+#
+#   ./benchmarks/run_all_suites.sh                  # synthetic, 1 seed, 2 epochs
+#   SYNTHETIC=0 SEEDS=0,2,4,8 EPOCHS= ./benchmarks/run_all_suites.sh  # real protocol
 set -u
 cd "$(dirname "$0")/.."
-REF=${REF:-/root/reference}
+SYNTHETIC=${SYNTHETIC:-1}
+SEEDS=${SEEDS:-0}
+EPOCHS=${EPOCHS:-2}       # empty = keep each config's protocol epochs
+ROWS=${ROWS:-8000}
 mkdir -p results
-for cfg in "$REF"/configs_mtl/*.json "$REF"/configs_msl/*.json "$REF"/configs_mtmsl/*.json; do
+for cfg in configs/mtl/*.json configs/msl/*.json configs/mtmsl/*.json; do
   name=$(basename "$cfg" .json)_$(basename $(dirname "$cfg"))
   echo "=== $name"
-  python - "$cfg" "results/${name}.json" <<'PY'
+  python - "$cfg" "results/${name}.json" "$EPOCHS" <<'PY'
 import json, sys
 raw = json.load(open(sys.argv[1]))
-raw["training_config"]["epochs"] = 2
+if sys.argv[3]:
+    raw["training_config"]["epochs"] = int(sys.argv[3])
 raw["data_config"]["test_result_path"] = sys.argv[2].replace(".json", ".csv")
 raw["save_config"]["save"] = False
 raw["save_config"]["save_layer_output"] = False
 json.dump(raw, open(sys.argv[2], "w"))
 PY
-  timeout 600 python main.py --config "results/${name}.json" --seed 0 --synthetic --synthetic_rows 8000 2>&1 | tail -1
+  extra=""
+  if [ "$SYNTHETIC" = "1" ]; then extra="--synthetic --synthetic_rows $ROWS"; fi
+  timeout 900 python main.py --config "results/${name}.json" --seeds "$SEEDS" $extra 2>&1 | tail -1
 done
 echo "=== results:"
 ls results/*.csv

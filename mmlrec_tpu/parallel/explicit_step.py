@@ -63,6 +63,15 @@ def make_explicit_two_phase_step(trainer):
 
     use_pallas = trainer.table_update == "pallas"
     pallas_interpret = getattr(trainer, "_pallas_interpret", True)
+    # grad_exchange_chunks > 1 pipelines the ID/grad exchange: the row
+    # cotangents are all-gathered in C tiles and the duplicate-reduction
+    # scatter for tile c runs while tile c+1 is still on the wire.  XLA's
+    # async collectives can then overlap wire time with both that scatter
+    # chain and the independent dense-parameter update.  See
+    # docs/scaling_model.md for when this matters (wire-bound regime).
+    exchange_chunks = int(
+        trainer.cfg.model_config.extra.get("grad_exchange_chunks", 1) or 1
+    )
 
     def body(rest, table, topt, opt_state, rng, ids, dense, y, dmask, weight,
              inv, rep, *meta):
@@ -95,20 +104,42 @@ def make_explicit_two_phase_step(trainer):
         # ID/grad exchange: route every data shard's row cotangents to the
         # vocab owners.  tiled all-gather reassembles the global batch order
         # (shard_batch splits rows contiguously), so the host-precomputed
-        # global (inv, rep) dedup metadata applies verbatim.
+        # global (inv, rep) dedup metadata applies verbatim.  The id gather
+        # has no dependency on the backward pass, so XLA can launch it
+        # alongside fwd+bwd.
         flat_all = jax.lax.all_gather(flat_local, "data", tiled=True)
-        g_rows_all = jax.lax.all_gather(g_rows, "data", tiled=True)
+        k_glob = k_loc * n_data
+        if exchange_chunks > 1 and k_loc % exchange_chunks == 0:
+            # Pipelined exchange: C tiled all-gathers of [k_loc/C, D] each;
+            # tile c's duplicate-reduction scatter overlaps tile c+1's wire
+            # time.  A gathered tile's position (s, j) is global row
+            # s*k_loc + c*L + j (shard-major batch split), so the global
+            # host-precomputed inv applies through that index map.  The
+            # full [K, D] g_rows_all never materializes.
+            L = k_loc // exchange_chunks
+            g_sum = jnp.zeros((k_glob, dim), g_rows.dtype)
+            shard_pos = (jnp.arange(n_data, dtype=jnp.int32) * k_loc)[:, None]
+            for c in range(exchange_chunks):
+                gc = jax.lax.dynamic_slice_in_dim(g_rows, c * L, L)
+                gc_all = jax.lax.all_gather(gc, "data", tiled=True)
+                pos = (shard_pos + c * L
+                       + jnp.arange(L, dtype=jnp.int32)[None, :]).reshape(-1)
+                g_sum = g_sum.at[jnp.take(inv, pos)].add(gc_all)
+            g_rows_all = g_sum  # duplicate-reduced; passed as g_sum below
+        else:
+            g_rows_all = jax.lax.all_gather(g_rows, "data", tiled=True)
+            g_sum = None
         if use_pallas:
             pids, pinv, nuniq, prep = meta
             new_table, new_topt = sharded_two_phase_sparse_adam_pallas(
                 table, g_rows_all, flat_all, inv, rep, pids, pinv, nuniq,
                 prep, topt, lr=lr, pack_factor=pack_factor,
-                interpret=pallas_interpret,
+                interpret=pallas_interpret, g_sum=g_sum,
             )
         else:
             new_table, new_topt = sharded_two_phase_sparse_adam(
                 table, g_rows_all, flat_all, inv, rep, topt,
-                lr=lr, pack_factor=pack_factor,
+                lr=lr, pack_factor=pack_factor, g_sum=g_sum,
             )
         updates, opt_state = trainer.tx.update(g_rest, opt_state, rest)
         rest = optax.apply_updates(rest, updates)

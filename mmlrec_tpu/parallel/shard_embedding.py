@@ -114,15 +114,22 @@ def sharded_two_phase_sparse_adam(
     b2: float = 0.999,
     eps: float = 1e-8,
     axis_name: str = "model",
+    g_sum: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, SparseAdamState]:
     """train/sparse_embedding.py::two_phase_sparse_adam on row-sharded
     table/moments: the moment row fetches are owned_gathers (one [K, D]
-    psum each) and every update is an owner-local masked scatter-add."""
+    psum each) and every update is an owner-local masked scatter-add.
+
+    ``g_sum`` optionally supplies the duplicate-reduced row gradients
+    (zeros_like(g_rows).at[inv].add(g_rows)) — the chunked-overlap exchange
+    (parallel/explicit_step.py grad_exchange_chunks) accumulates it
+    incrementally while later chunks are still on the wire."""
     dim = g_rows.shape[-1]
     count = state.count + 1
     t = count.astype(jnp.float32)
     mdt = state.mu.dtype
-    g_sum = jnp.zeros_like(g_rows).at[inv].add(g_rows)
+    if g_sum is None:
+        g_sum = jnp.zeros_like(g_rows).at[inv].add(g_rows)
     mu_rows = owned_gather(state.mu, flat_ids, dim, pack_factor, axis_name)
     nu_rows = owned_gather(state.nu, flat_ids, dim, pack_factor, axis_name)
     mu_f = mu_rows.astype(jnp.float32)
@@ -181,6 +188,7 @@ def sharded_two_phase_sparse_adam_pallas(
     eps: float = 1e-8,
     interpret: bool = False,
     axis_name: str = "model",
+    g_sum: jnp.ndarray = None,
 ):
     """The write-only-kernel table update on row-sharded state.
 
@@ -213,7 +221,8 @@ def sharded_two_phase_sparse_adam_pallas(
     W = table_shard.shape[1]
     Kp = pids.shape[0]
 
-    g_sum = jnp.zeros_like(g_rows).at[inv].add(g_rows)
+    if g_sum is None:
+        g_sum = jnp.zeros_like(g_rows).at[inv].add(g_rows)
 
     def local_rows(shard, ids_phys):
         """Old rows WITHOUT a collective: every physical row a shard

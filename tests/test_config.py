@@ -59,3 +59,43 @@ def test_roundtrip_preserves_unknown_keys():
     cfg = ExperimentConfig.from_dict(raw)
     assert cfg.model_config.extra["mystery_key"] == 7
     assert cfg.to_dict()["model_config"]["mystery_key"] == 7
+
+
+def test_shipped_config_suite_parses_and_runs():
+    """configs/{mtl,msl,mtmsl}: all 12 mirrored reference configs parse,
+    carry the TPU performance stanza, and one per regime runs a tiny
+    synthetic fit end-to-end."""
+    import glob
+    import json
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "configs/*/config_*.json")))
+    assert len(paths) == 12, paths
+    per_regime = {}
+    for p in paths:
+        cfg = ExperimentConfig.from_dict(json.load(open(p)))
+        assert cfg.model_config.extra.get("two_phase_embedding") is True, p
+        assert cfg.model_config.extra.get("table_update") == "auto", p
+        assert cfg.training_config.extra.get("device_eval") is True, p
+        per_regime.setdefault(cfg.model_config.task_name, p)
+    assert set(per_regime) == {"mtl", "msl", "mtmsl"}
+    for regime, p in sorted(per_regime.items()):
+        env = dict(os.environ, MMLREC_PLATFORM="cpu")
+        code = (
+            "import json, sys; raw = json.load(open(sys.argv[1])); "
+            "raw['training_config']['epochs'] = 1; "
+            "raw['data_config']['test_result_path'] = ''; "
+            "raw['save_config']['save'] = False; "
+            "json.dump(raw, open(sys.argv[2], 'w'))"
+        )
+        import tempfile
+        tmp = tempfile.mktemp(suffix=".json")
+        subprocess.run([_sys.executable, "-c", code, p, tmp], check=True)
+        r = subprocess.run(
+            [_sys.executable, "main.py", "--config", tmp, "--seed", "0",
+             "--synthetic", "--synthetic_rows", "512"],
+            cwd=repo, env=env, capture_output=True, text=True, timeout=900,
+        )
+        assert r.returncode == 0, (regime, r.stdout[-1500:], r.stderr[-3000:])

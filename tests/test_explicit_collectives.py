@@ -219,3 +219,48 @@ def test_explicit_step_pallas_matches_scatter(mdt):
     p2 = tr_pl.predict(x2, batch_size=32)
     atol = 5e-3 if mdt == "bfloat16" else 2e-4
     np.testing.assert_allclose(p1, p2, rtol=2e-3, atol=atol)
+
+
+@pytest.mark.parametrize("chunks", [2, 4])
+def test_chunked_grad_exchange_matches_unchunked(chunks):
+    """grad_exchange_chunks pipelines the row-cotangent all-gather in C
+    tiles (scatter of tile c overlaps tile c+1's wire time) — numerics must
+    match the single-all-gather exchange (f32 accumulation order inside the
+    duplicate-reduction scatter may differ, hence allclose not bitwise)."""
+    def setup(c):
+        extra = {"two_phase_embedding": True,
+                 "explicit_collective_embedding": True}
+        if c > 1:
+            extra["grad_exchange_chunks"] = c
+        cfg = make_config(task_name="mtl", model_name="mmoe", n_sparse=4,
+                          n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,),
+                          batch_size=64, lr=3e-3, **extra)
+        layout, x, y, _ = make_data(cfg, n=256, seed=0)
+        model = get_model("mmoe", layout, cfg)
+        return (
+            Trainer(model, seed=0, mesh=create_mesh(data=4, model=2)).compile(),
+            x, y,
+        )
+
+    tr_1, x, y = setup(1)
+    tr_1.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False)
+    tr_c, x2, y2 = setup(chunks)
+    tr_c.fit(x2, y2, batch_size=64, epochs=2, verbose=0, shuffle=False)
+    p1 = tr_1.predict(x, batch_size=64)
+    p2 = tr_c.predict(x2, batch_size=64)
+    np.testing.assert_allclose(p1, p2, rtol=1e-4, atol=1e-6)
+
+
+def test_chunked_grad_exchange_pallas():
+    """Chunked exchange composes with the sharded write-only kernel."""
+    extra = {"two_phase_embedding": True,
+             "explicit_collective_embedding": True,
+             "grad_exchange_chunks": 2, "table_update": "pallas"}
+    cfg = make_config(task_name="mtl", model_name="mmoe", n_sparse=4,
+                      n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,),
+                      batch_size=32, lr=3e-3, vocab=400, **extra)
+    layout, x, y, _ = make_data(cfg, n=128, seed=0, vocab=400)
+    model = get_model("mmoe", layout, cfg)
+    tr = Trainer(model, seed=0, mesh=create_mesh(data=2, model=4)).compile()
+    tr.fit(x, y, batch_size=32, epochs=1, verbose=0, shuffle=False)
+    assert np.isfinite(tr.history[-1]["loss"])
