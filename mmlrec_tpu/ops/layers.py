@@ -437,7 +437,17 @@ class SNRGate(nn.Module):
         # NaN (the reference would NaN identically at snr_trans.py:40 —
         # u/alpha are registered params there)
         alpha_safe = jnp.maximum(alpha[0], 1e-8)
-        u_safe = jnp.clip(u, self.e, 1.0 - self.e)
+        # f32-safe strict interior for u: ``1.0 - 1e-8`` rounds to exactly
+        # 1.0 in f32 (eps ~1.2e-7), which made the upper clip a no-op —
+        # once adam pushed a trained u past 1, log1p(-u_safe) hit -inf and
+        # its clip-masked gradient became 0 * -inf = NaN, poisoning every
+        # parameter within a step (caught by the full-protocol parity
+        # suite: mssm seeds 1 and 5; the reference never trips this only
+        # because its u is FROZEN by the unregistered-param bug,
+        # mssm.py:26-36).  1 - 2^-20 is exactly representable; z saturates
+        # to 1.0 well before this region (s >= ~0.917 suffices), so
+        # in-range numerics are unchanged.
+        u_safe = jnp.clip(u, self.e, 1.0 - 2.0 ** -20)
         s = jax.nn.sigmoid(
             jnp.log(u_safe) - jnp.log1p(-u_safe) + jnp.log(alpha_safe) / self.beta
         )

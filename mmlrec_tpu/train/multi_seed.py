@@ -11,9 +11,24 @@ exactly those of an independent ``Trainer`` run with that seed (pinned by
 tests/test_multi_seed.py): same init draws, same shuffle streams, same
 per-seed early stopping and best-epoch snapshots.
 
-Scope (v1): the default dense-optimizer path on a single device — no
-mesh, no two-phase/sparse embedding updates (a [S, V, D] stacked table
-defeats the point of those paths anyway).
+Scope: the vmapped form covers the default dense-optimizer path on a
+single device.  The two-phase/pallas production path instead runs in
+SEQUENTIAL-SHARED mode (same API): a stacked [S, V, D] table can never
+pay there —
+
+* memory: at the production 40M x 32 shape, table + packed moments are
+  ~10.2 GB; S=4 stacked copies need ~41 GB against 15.75 GB HBM;
+* arithmetic: the vmapped win exists because the dense step is far from
+  saturating the MXU (one program amortizes fixed overhead across
+  seeds), but the two-phase step is bound by PER-ROW gather/scatter/DMA
+  traffic (docs/perf_notes.md "Scatter cost isolation") that scales
+  linearly with S — vmapping buys no per-row amortization.
+
+What IS shared sequentially: one Trainer instance, so the jitted step /
+eval / predict programs compile ONCE for all seeds (remote compiles cost
+5-390 s each here — the dominant suite overhead), with per-seed numerics
+exactly equal to solo runs (seed is read at fit time; pinned by
+tests/test_multi_seed.py).
 """
 
 from __future__ import annotations
@@ -43,14 +58,14 @@ class SeedSuiteTrainer:
         # (packing, loss terms, step body, predict program).
         self.trainers = [Trainer(model, seed=s) for s in seeds]
         self.tr = self.trainers[0]
-        if self.tr.two_phase_embedding or self.tr.sparse_embedding_update:
-            raise NotImplementedError(
-                "SeedSuiteTrainer supports the default dense-optimizer path; "
-                "sparse/two-phase table updates would stack S copies of the "
-                "table — run those seeds sequentially"
-            )
+        # two-phase/sparse paths run sequential-shared (see module
+        # docstring): one Trainer, compiled once, re-seeded per run.
+        self.sequential = (
+            self.tr.two_phase_embedding or self.tr.sparse_embedding_update
+        )
         self.histories: List[List[Dict[str, float]]] = [[] for _ in seeds]
-        self.best_variables = None  # stacked [S, ...]
+        self.best_variables = None  # stacked [S, ...] (vmapped mode)
+        self._seq_best: List = []  # per-seed best variables (sequential mode)
         self._vstep = None
         self._vpred = None
 
@@ -100,6 +115,37 @@ class SeedSuiteTrainer:
         return jax.jit(jax.vmap(prog, in_axes=(0, None, None, None, None, None)))
 
     # ------------------------------------------------------------------
+    def _fit_sequential(self, x, y, batch_size, epochs, validation_data,
+                        verbose):
+        """Two-phase/pallas path: seeds run one after another on ONE shared
+        Trainer (jit caches persist across reset_for_seed, so the step/eval
+        programs compile once for the whole suite).  Numerics per seed are
+        exactly a solo Trainer(seed) run."""
+        tr = self.tr
+        self._seq_best = []
+        for si, s in enumerate(self.seeds):
+            tr.reset_for_seed(s)
+            tr.fit(
+                x, y, batch_size=batch_size, epochs=epochs,
+                validation_data=validation_data, verbose=max(verbose - 1, 0),
+            )
+            self.histories[si] = list(tr.history)
+            self._seq_best.append(tr.best_variables)
+            if verbose:
+                last = tr.history[-1] if tr.history else {}
+                print(
+                    f"{self.labels[si]}: {len(tr.history)} epochs, "
+                    f"loss {last.get('loss', float('nan')):.4f}"
+                    + (f", val_auc {last['val_auc']:.4f}"
+                       if "val_auc" in last else "")
+                )
+        self.variables = tr.variables
+        return self
+
+    def _per_seed_best(self, si):
+        return self._seq_best[si]
+
+    # ------------------------------------------------------------------
     def fit(
         self,
         x,
@@ -109,6 +155,10 @@ class SeedSuiteTrainer:
         validation_data=None,
         verbose: int = 1,
     ):
+        if self.sequential:
+            return self._fit_sequential(
+                x, y, batch_size, epochs, validation_data, verbose
+            )
         tr = self.tr
         cfg = tr.cfg
         oc = cfg.optim_config
@@ -301,6 +351,14 @@ class SeedSuiteTrainer:
         [S] scalars per metric instead of the [S, N_test, H] prediction
         download."""
         tr = self.tr
+        if self.sequential:
+            rows = []
+            for si in range(len(self.seeds)):
+                tr.best_variables = self._per_seed_best(si)
+                rows.append(
+                    tr.masked_test_metrics_device(x, y, test_mask, batch_size)
+                )
+            return rows
         ids, dense = tr.pack_inputs(x)
         y2 = tr._prepare_y(y)
         dmask = tr._domain_mask_from(x)
@@ -325,6 +383,12 @@ class SeedSuiteTrainer:
     def predict(self, x, batch_size: int = 256) -> np.ndarray:
         """[S, N, num_heads] predictions from each seed's best params."""
         tr = self.tr
+        if self.sequential:
+            preds = []
+            for si in range(len(self.seeds)):
+                tr.best_variables = self._per_seed_best(si)
+                preds.append(tr.predict(x, batch_size=batch_size))
+            return np.stack(preds)
         ids, dense = tr.pack_inputs(x)
         dmask = tr._domain_mask_from(x)
         ids3, dense3, dmask3, n = tr._prepare_eval_tensors(ids, dense, dmask, batch_size)

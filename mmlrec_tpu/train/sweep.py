@@ -97,6 +97,13 @@ class GridSweepTrainer(SeedSuiteTrainer):
             raise ValueError(f"grid rows missing hyperparams: {missing[:3]}")
         self._hp_keys = hp_keys
         super().__init__(model, seeds=[g["seed"] for g in self.grid])
+        if self.sequential:
+            raise NotImplementedError(
+                "GridSweepTrainer needs the vmapped (stacked-state) path; "
+                "two-phase/sparse table updates run seed suites in "
+                "sequential-shared mode instead (train/multi_seed.py) — "
+                "sweep lrs there as separate runs"
+            )
         tag = lambda g: "/".join(f"{k}{g[k]:g}" for k in hp_keys)  # noqa: E731
         self.labels = [f"s{g['seed']}/{tag(g)}" for g in self.grid]
         self.row_labels = [

@@ -1601,6 +1601,22 @@ class Trainer:
             preds = preds[:, [0, 2]]
         return regime_eval(self.metric_fns, y, preds, self.task_name, self.num_domains)
 
+    def reset_for_seed(self, seed: int) -> "Trainer":
+        """Reset per-run state, KEEPING the jitted-program caches
+        (self._step_fns), so a seed suite re-fits without recompiling —
+        remote compiles cost 5-390 s each here (docs/perf_notes.md).  Used
+        by train/multi_seed.py's sequential-shared mode for the
+        two-phase/pallas path."""
+        self.seed = seed
+        self.variables = None
+        self.best_variables = None
+        self.history = []
+        self.throughput_examples_per_s = None
+        for attr in ("_train_state", "_staged_eval_cache"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        return self
+
     def predict(self, x, batch_size: int = 256):
         """Reference basemodel.py:395-457; escm keeps [pCTR, pCTCVR] columns
         (:438-441); returns (preds, layer_output_dict) after update_save()."""

@@ -289,3 +289,30 @@ def test_wide_linear_math():
         + np.asarray(dense) @ kernel
     )
     np.testing.assert_allclose(out, expect, rtol=1e-6)
+
+
+def test_snr_gate_grad_finite_when_u_escapes_unit_interval():
+    """Regression (protocol parity suite, mssm seeds 1/5): a TRAINED gate u
+    pushed past 1.0 by adam must yield finite gradients.  The old clip
+    bound 1.0 - 1e-8 rounds to exactly 1.0 in f32, so log1p(-u_safe) was
+    -inf and the clip-masked grad 0 * -inf = NaN."""
+    import jax
+    import numpy as np
+    from mmlrec_tpu.ops.layers import SNRGate
+
+    gate = SNRGate(input_dim=2, output_dim=2, units=4, elementwise=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(3, 2, 4)), jnp.float32)
+    v = gate.init(jax.random.PRNGKey(0), x)
+    p = jax.tree.map(lambda a: a, v["params"])
+    u = np.asarray(p["u"]).copy()
+    u.flat[0] = 1.0001  # adam overshoot past the unit interval
+    u.flat[1] = -0.0001
+    p["u"] = jnp.asarray(u)
+
+    def loss(params):
+        return jnp.sum(gate.apply({"params": params}, x) ** 2)
+
+    val, grads = jax.value_and_grad(loss)(p)
+    assert np.isfinite(float(val))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()

@@ -69,7 +69,42 @@ def test_suite_msl_regime():
     np.testing.assert_allclose(preds[1], solo.predict(xv, 64), atol=1e-6)
 
 
-def test_suite_rejects_two_phase():
+def test_suite_two_phase_sequential_matches_solo():
+    """Two-phase configs run the suite in sequential-shared mode (one
+    Trainer, jit caches reused across seeds — multi_seed.py module
+    docstring for why a stacked table can never pay); numerics per seed
+    must equal solo runs exactly."""
+    seeds = [0, 2]
     cfg, model, x, y, xv, yv = _setup(two_phase_embedding=True)
-    with pytest.raises(NotImplementedError):
-        SeedSuiteTrainer(model, seeds=[0, 2])
+    suite = SeedSuiteTrainer(model, seeds=seeds).compile(metrics=["auc"])
+    assert suite.sequential
+    suite.fit(x, y, batch_size=64, epochs=3, validation_data=(xv, yv),
+              verbose=0)
+    suite_preds = suite.predict(xv, batch_size=64)
+    assert suite_preds.shape[0] == 2
+    for si, seed in enumerate(seeds):
+        solo = Trainer(model, seed=seed).compile(metrics=["auc"])
+        solo.fit(x, y, batch_size=64, epochs=3, validation_data=(xv, yv),
+                 verbose=0)
+        np.testing.assert_allclose(
+            suite_preds[si], solo.predict(xv, batch_size=64), rtol=0,
+            atol=1e-6, err_msg=f"seed {seed} diverges from solo two-phase run",
+        )
+        assert len(suite.histories[si]) == len(solo.history)
+        for h_suite, h_solo in zip(suite.histories[si], solo.history):
+            assert h_suite["loss"] == pytest.approx(h_solo["loss"], rel=1e-5)
+
+
+def test_suite_two_phase_pallas_sequential():
+    """Sequential suite on the production kernel path (pallas interpret on
+    CPU + packed bf16 moments) stays finite and per-seed-shaped."""
+    cfg, model, x, y, xv, yv = _setup(
+        two_phase_embedding=True, table_update="pallas",
+        table_opt_dtype="bfloat16",
+    )
+    suite = SeedSuiteTrainer(model, seeds=[0, 4]).compile(metrics=["auc"])
+    suite.fit(x, y, batch_size=64, epochs=1, validation_data=(xv, yv),
+              verbose=0)
+    preds = suite.predict(xv, batch_size=64)
+    assert preds.shape == (2, 128, 2)
+    assert np.isfinite(preds).all()
