@@ -48,7 +48,7 @@ def chain_time(fn, args, iters=8):
 def main():
     # 4M physical rows keeps every variant's residency <= 4.1 GB so all
     # four can run in one process (HBM is 15.75 GB; allocate per variant)
-    R, K = 4_000_000, 65_536
+    R, K = 4_000_000, 1_048_576  # K large enough that gather work dominates the ~27 ms gather-main dispatch floor
     rng = np.random.RandomState(0)
     ids = jnp.asarray(rng.randint(0, R, K).astype(np.int32))
 

@@ -59,8 +59,9 @@ class _SNRBase(RecModel):
                 elementwise=self.elementwise,
                 freeze_trans_ref_faithful=freeze,
                 freeze_u_ref_faithful=freeze and self.freeze_u,
+                stochastic=bool(mc.extra.get("snr_stochastic_gates")),
                 name=f"gate_{i + 1}",
-            )(x)  # [B, out_dim, units[i]]
+            )(x, train=train)  # [B, out_dim, units[i]]
 
         if len(mc.tower_dnn_hidden_units) > 0:
             tower = StackedMLP(

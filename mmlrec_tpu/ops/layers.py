@@ -406,9 +406,19 @@ class SNRGate(nn.Module):
     e: float = 1e-8
     freeze_trans_ref_faithful: bool = False
     freeze_u_ref_faithful: bool = False
+    # True = re-draw u per training step (the hard-concrete noise the
+    # reference's authors left COMMENTED OUT, mssm.py:40 / snr_trans.py:39;
+    # enabled via model_config ``snr_stochastic_gates``).  Prevents the
+    # dead-head pathology of the deterministic gate: an init draw can gate
+    # every connection into a head to exactly z = 0, where the clip's zero
+    # gradient makes it unrecoverable (diagnosed in BASELINE.md, snr seed
+    # 5).  Stochastic u keeps z varying so alpha still receives gradient;
+    # eval uses the distribution midpoint (u = 0.5, the standard
+    # hard-concrete deterministic test gate).
+    stochastic: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         assert x.ndim == 3 and x.shape[1] == self.input_dim and x.shape[2] == self.units
         alpha = self.param(
             "alpha", lambda k, s: jax.random.uniform(k, s), (1,)
@@ -418,17 +428,26 @@ class SNRGate(nn.Module):
             if self.elementwise
             else (self.output_dim, self.input_dim)
         )
-        u = self.param(
-            "u",
-            lambda k, s: jax.random.uniform(k, s, jnp.float32, self.e, 1.0 - self.e),
-            u_shape,
-        )
+        if self.stochastic:
+            if train:
+                u = jax.random.uniform(
+                    self.make_rng("dropout"), u_shape, jnp.float32,
+                    self.e, 1.0 - 2.0 ** -20,
+                )
+            else:
+                u = jnp.full(u_shape, 0.5, jnp.float32)
+        else:
+            u = self.param(
+                "u",
+                lambda k, s: jax.random.uniform(k, s, jnp.float32, self.e, 1.0 - self.e),
+                u_shape,
+            )
         trans = self.param(
             "trans",
             xavier_normal_init(),
             (self.output_dim, self.input_dim, self.units, self.units),
         )
-        if self.freeze_u_ref_faithful:
+        if self.freeze_u_ref_faithful and not self.stochastic:
             u = jax.lax.stop_gradient(u)
         if self.freeze_trans_ref_faithful:
             trans = jax.lax.stop_gradient(trans)

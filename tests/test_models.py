@@ -201,3 +201,34 @@ def tr_init_table(tr, inputs, y):
     if tr.variables is None:
         tr.fit(inputs, y, batch_size=32, epochs=0, verbose=0)
     return tr.variables["params"]["wide_linear"]["table"]
+
+
+def test_snr_stochastic_gates_opt_in(layout, batch):
+    """snr_stochastic_gates: per-step hard-concrete u re-draw (the
+    reference's commented-out line, mssm.py:40) — train outputs vary with
+    the rng, eval is deterministic, and alpha still receives gradient."""
+    cfg = _cfg(model_name="mssm")
+    cfg.model_config.extra["snr_stochastic_gates"] = True
+    model = get_model("mssm", layout, cfg)
+    ids, dense = batch
+    v = model.init(jax.random.PRNGKey(0), ids, dense, None, train=False)
+    assert "u" not in v["params"]["gate_1"]  # u is noise, not a param
+
+    t1 = model.apply(v, ids, dense, None, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    t2 = model.apply(v, ids, dense, None, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    assert float(jnp.max(jnp.abs(t1 - t2))) > 1e-6
+
+    e1 = model.apply(v, ids, dense, None, train=False)
+    e2 = model.apply(v, ids, dense, None, train=False)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    assert np.isfinite(np.asarray(e1)).all()
+
+    def loss(p):
+        out = model.apply({"params": p}, ids, dense, None, train=True,
+                          rngs={"dropout": jax.random.PRNGKey(3)})
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    assert float(jnp.max(jnp.abs(g["gate_1"]["alpha"]))) > 0
