@@ -140,7 +140,14 @@ def main(vocab_per_feature=2_500_000, n_sparse=16, emb_dim=32, batch_size=4096):
             + prep.astype(jnp.int32)[:, None] * old_ti
         )
         both = jnp.concatenate([contrib_t_i, contrib_monu_i], axis=1)
-        if dedup_scatter:
+        if dedup_scatter == "split":
+            # two [Kp, 128] scatters instead of one [Kp, 256]: re-check
+            # whether 256-lane scatters fall off the 128-lane fast path the
+            # way 256-lane gathers do (probe_fused_container_gather.py)
+            at = jnp.zeros((Kp, 128), jnp.int32).at[pinv].add(contrib_t_i)
+            am = jnp.zeros((Kp, 128), jnp.int32).at[pinv].add(contrib_monu_i)
+            acc2 = jnp.concatenate([at, am], axis=1)
+        elif dedup_scatter:
             acc2 = jnp.zeros((Kp, 256), jnp.int32).at[pinv].add(both)
         else:
             acc2 = both[:Kp]  # same shape/dtype, no scatter (WRONG values)
@@ -162,13 +169,15 @@ def main(vocab_per_feature=2_500_000, n_sparse=16, emb_dim=32, batch_size=4096):
                 rest = optax.apply_updates(rest, updates)
                 new_state["opt_state"] = opt_state
                 new_state["params"] = trainer._with_table(rest, table)
-            if stage in ("V3", "V3ng", "V3ns", "V4"):
+            if stage.startswith(("V3", "V4")):
                 acc_t, acc_monu = opt_prep(
                     state, flat, sup, sub, g_rows,
                     gather_monu=stage != "V3ng",
-                    dedup_scatter=stage != "V3ns",
+                    dedup_scatter=(
+                        "split" if stage.endswith("s2") else stage != "V3ns"
+                    ),
                 )
-                if stage == "V4":
+                if stage.startswith("V4"):
                     st = state["table_opt"]
                     new_table, new_monu = pallas_rows_write(
                         (table, st.monu), pids, (acc_t, acc_monu),

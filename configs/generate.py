@@ -35,12 +35,16 @@ def rewrite(raw: dict) -> dict:
     for key in ("test_result_path", "layer_output_path"):
         if dc.get(key):
             dc[key] = os.path.join("results", os.path.basename(dc[key].rstrip("/")))
-    raw["model_config"].update(
-        {
-            "two_phase_embedding": True,
-            "table_update": "auto",
-        }
-    )
+    # two_phase implements SparseADAM semantics (train/sparse_embedding.py)
+    # — only set it where the reference config optimizes with adam
+    # (everything except mtmsl/amazon's adagrad)
+    if raw.get("optim_config", {}).get("optimizer", "adam") == "adam":
+        raw["model_config"].update(
+            {
+                "two_phase_embedding": True,
+                "table_update": "auto",
+            }
+        )
     raw.setdefault("training_config", {})["device_eval"] = True
     return raw
 

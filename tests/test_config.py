@@ -76,8 +76,12 @@ def test_shipped_config_suite_parses_and_runs():
     per_regime = {}
     for p in paths:
         cfg = ExperimentConfig.from_dict(json.load(open(p)))
-        assert cfg.model_config.extra.get("two_phase_embedding") is True, p
-        assert cfg.model_config.extra.get("table_update") == "auto", p
+        if cfg.optim_config.optimizer == "adam":
+            # two_phase implements SparseADAM; adagrad configs skip it
+            assert cfg.model_config.extra.get("two_phase_embedding") is True, p
+            assert cfg.model_config.extra.get("table_update") == "auto", p
+        else:
+            assert "two_phase_embedding" not in cfg.model_config.extra, p
         assert cfg.training_config.extra.get("device_eval") is True, p
         per_regime.setdefault(cfg.model_config.task_name, p)
     assert set(per_regime) == {"mtl", "msl", "mtmsl"}
