@@ -46,7 +46,10 @@ def main(vocab_per_feature=2_500_000, n_sparse=16, emb_dim=32, batch_size=4096):
         pack_monu,
         unpack_monu,
     )
-    from mmlrec_tpu.ops.pallas_scatter import pallas_rows_write
+    from mmlrec_tpu.ops.pallas_scatter import (
+        pallas_rows_write,
+        pallas_rows_write_pipelined,
+    )
 
     cfg = make_config(
         task_name="mtl", model_name="mmoe", emb=emb_dim, n_sparse=n_sparse,
@@ -179,10 +182,29 @@ def main(vocab_per_feature=2_500_000, n_sparse=16, emb_dim=32, batch_size=4096):
                 )
                 if stage.startswith("V4"):
                     st = state["table_opt"]
-                    new_table, new_monu = pallas_rows_write(
-                        (table, st.monu), pids, (acc_t, acc_monu),
-                        n_real=nuniq, chunk=256,
-                    )
+                    if stage == "V4pp":
+                        # software-pipelined kernel: deferred waits +
+                        # manual double-buffered value windows
+                        new_table, new_monu = pallas_rows_write_pipelined(
+                            (table, st.monu), pids, (acc_t, acc_monu),
+                            n_real=nuniq, chunk=256,
+                        )
+                    elif stage == "V4sp":
+                        # two kernel calls: step i+1's table gather then
+                        # depends only on the table write, and the monu
+                        # gather only on the monu write — lets the
+                        # scheduler overlap each gather with the OTHER
+                        # array's write across scan iterations
+                        (new_table,) = pallas_rows_write(
+                            (table,), pids, (acc_t,), n_real=nuniq, chunk=256)
+                        (new_monu,) = pallas_rows_write(
+                            (st.monu,), pids, (acc_monu,), n_real=nuniq,
+                            chunk=256)
+                    else:
+                        new_table, new_monu = pallas_rows_write(
+                            (table, st.monu), pids, (acc_t, acc_monu),
+                            n_real=nuniq, chunk=256,
+                        )
                     new_state["params"] = trainer._with_table(rest, new_table)
                     new_state["table_opt"] = type(st)(
                         monu=new_monu, count=st.count + 1)

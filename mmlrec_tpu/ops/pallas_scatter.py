@@ -200,6 +200,151 @@ def pallas_rows_write(arrays, ids, values, *, n_real=None, bounds=None,
     return tuple(out)
 
 
+def _write_kernel_pipelined(chunk, n_arrays, n_chunks, ids_ref, bounds_ref,
+                            *refs):
+    # refs: [v_hbm_0..n-1 (HBM values), t_in_0.., t_out_0.. (HBM, aliased),
+    #        vbuf_0..n-1 (VMEM (2, chunk, W) double buffers),
+    #        sem_in (n,), sem_out (n,)]
+    v_hbm = refs[:n_arrays]
+    out_refs = refs[2 * n_arrays: 3 * n_arrays]
+    vbufs = refs[3 * n_arrays: 4 * n_arrays]
+    sem_in = refs[4 * n_arrays]
+    sem_out = refs[4 * n_arrays + 1]
+    i = pl.program_id(0)
+    lo = bounds_ref[0]
+    hi = bounds_ref[1]
+
+    def in_copy(a, c):
+        return pltpu.make_async_copy(
+            v_hbm[a].at[pl.ds(c * chunk, chunk)], vbufs[a].at[c % 2],
+            sem_in.at[a],
+        )
+
+    def write(a, c, j):
+        idx = ids_ref[c * chunk + j]
+        return pltpu.make_async_copy(
+            vbufs[a].at[c % 2].at[j], out_refs[a].at[idx], sem_out.at[a]
+        )
+
+    def chunk_live(c):
+        return (c * chunk < hi) & ((c + 1) * chunk > lo)
+
+    def start_writes(c):
+        c0 = c * chunk
+        full = (c0 >= lo) & (c0 + chunk <= hi)
+
+        @pl.when(full)
+        def _full():
+            for a in range(n_arrays):
+                for j in range(chunk):
+                    write(a, c, j).start()
+
+        @pl.when(chunk_live(c) & ~full)
+        def _boundary():
+            for a in range(n_arrays):
+                for j in range(chunk):
+                    @pl.when((c0 + j >= lo) & (c0 + j < hi))
+                    def _s(a=a, c=c, j=j):
+                        write(a, c, j).start()
+
+    def wait_writes(c):
+        c0 = c * chunk
+        full = (c0 >= lo) & (c0 + chunk <= hi)
+
+        @pl.when(full)
+        def _full():
+            for a in range(n_arrays):
+                for j in range(chunk):
+                    write(a, c, j).wait()
+
+        @pl.when(chunk_live(c) & ~full)
+        def _boundary():
+            for a in range(n_arrays):
+                for j in range(chunk):
+                    @pl.when((c0 + j >= lo) & (c0 + j < hi))
+                    def _w(a=a, c=c, j=j):
+                        write(a, c, j).wait()
+
+    # software pipeline: values chunk i is prefetched at step i-1 (one big
+    # contiguous DMA per array), and chunk i's scattered write DMAs are
+    # WAITED one grid step late, so the end-of-chunk completion stall
+    # overlaps the next chunk's issue work.  Ordering guarantees: writes of
+    # chunk i-1 are waited BEFORE the in-copy for chunk i+1 starts, because
+    # both touch vbuf[(i-1) % 2] == vbuf[(i+1) % 2].
+    @pl.when((i == 0) & chunk_live(i))
+    def _prime():
+        for a in range(n_arrays):
+            in_copy(a, 0).start()
+
+    @pl.when(chunk_live(i))
+    def _consume():
+        for a in range(n_arrays):
+            in_copy(a, i).wait()
+
+    @pl.when((i > 0) & chunk_live(i - 1))
+    def _deferred():
+        wait_writes(i - 1)
+
+    @pl.when((i + 1 < n_chunks) & chunk_live(i + 1))
+    def _prefetch():
+        for a in range(n_arrays):
+            in_copy(a, i + 1).start()
+
+    @pl.when(chunk_live(i))
+    def _issue():
+        start_writes(i)
+
+    @pl.when((i == n_chunks - 1) & chunk_live(i))
+    def _drain():
+        wait_writes(i)
+
+
+def pallas_rows_write_pipelined(arrays, ids, values, *, n_real=None,
+                                bounds=None, chunk: int = 256,
+                                interpret: bool = False):
+    """pallas_rows_write with an explicit software pipeline (VERDICT round-1
+    item 4): manual double-buffered value windows (one contiguous DMA per
+    chunk per array instead of the BlockSpec stream) and write waits
+    deferred one chunk, so each chunk's completion stall overlaps the next
+    chunk's DMA issue.  Same contract as pallas_rows_write."""
+    n = len(arrays)
+    assert len(values) == n
+    K = ids.shape[0]
+    V = arrays[0].shape[0]
+    assert K % chunk == 0, (K, chunk)
+    for a, v in zip(arrays, values):
+        assert a.shape[0] == V and v.shape == (K, a.shape[1])
+    if bounds is None:
+        if n_real is None:
+            bounds = jnp.asarray([0, K], jnp.int32)
+        else:
+            bounds = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), n_real.astype(jnp.int32)]
+            )
+    n_chunks = K // chunk
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n)]
+            + [pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n)]
+        ),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n)],
+        scratch_shapes=(
+            [pltpu.VMEM((2, chunk, a.shape[1]), a.dtype) for a in arrays]
+            + [pltpu.SemaphoreType.DMA((n,)), pltpu.SemaphoreType.DMA((n,))]
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_write_kernel_pipelined, chunk, n, n_chunks),
+        out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrays],
+        grid_spec=grid_spec,
+        input_output_aliases={2 + n + a: a for a in range(n)},
+        interpret=interpret,
+    )(ids, bounds, *values, *arrays)
+    return tuple(out)
+
+
 def pallas_rows_update(arrays, ids, deltas, *, modes=None, masks=None,
                        n_real=None, chunk: int = 256,
                        interpret: bool = False):

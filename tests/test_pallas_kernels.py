@@ -153,3 +153,36 @@ def test_pallas_rows_write_sets_rows_and_skips_pads():
         np.asarray(got_t[untouched]), np.asarray(table[untouched]))
     np.testing.assert_array_equal(
         np.asarray(got_m[untouched]), np.asarray(monu[untouched]))
+
+
+def test_pallas_rows_write_pipelined_matches_unpipelined():
+    """Software-pipelined write kernel (manual double-buffered value
+    windows, waits deferred one chunk): identical results to
+    pallas_rows_write, including boundary chunks, pads, and the sharded
+    [lo, hi) bounds mode."""
+    from mmlrec_tpu.ops.pallas_scatter import (
+        pallas_rows_write,
+        pallas_rows_write_pipelined,
+    )
+
+    V, D, K = 64, 128, 16
+    rng = np.random.RandomState(7)
+    real = rng.choice(V, size=10, replace=False).astype(np.int32)
+    pads = np.setdiff1d(np.arange(V), real)[: K - 10].astype(np.int32)
+    ids = jnp.asarray(np.concatenate([np.sort(real), pads]))
+    table = jnp.asarray(rng.rand(V, D).astype(np.float32))
+    monu = jnp.asarray(rng.rand(V, D).astype(np.float32))
+    vals_t = jnp.asarray(rng.randn(K, D).astype(np.float32))
+    vals_m = jnp.asarray(rng.randn(K, D).astype(np.float32))
+    for bounds in (None, jnp.asarray([3, 10], jnp.int32)):
+        kw = dict(chunk=4, interpret=True)
+        if bounds is None:
+            kw["n_real"] = jnp.asarray([10], jnp.int32)
+        else:
+            kw["bounds"] = bounds
+        ref_t, ref_m = pallas_rows_write(
+            (table, monu), ids, (vals_t, vals_m), **kw)
+        got_t, got_m = pallas_rows_write_pipelined(
+            (table, monu), ids, (vals_t, vals_m), **kw)
+        np.testing.assert_array_equal(np.asarray(got_t), np.asarray(ref_t))
+        np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))
