@@ -98,13 +98,15 @@ def main(vocab_per_feature=2_500_000, n_sparse=16, emb_dim=32, batch_size=4096):
         return rest, table, flat, sup, sub, total, g_rest, g_rows
 
     def opt_prep(state, flat, sup, sub, g_rows, gather_monu=True,
-                 dedup_scatter=True):
+                 dedup_scatter=True, sup_c=None):
         """The CURRENT folded opt-prep (two_phase_sparse_adam_unique packed
         pallas branch, train/sparse_embedding.py:464-539)."""
         st = state["table_opt"]
         g = g_rows.reshape(K, D)
         g_sum = jnp.zeros_like(g).at[inv].add(g)
-        if gather_monu:
+        if sup_c is not None:
+            pass  # pre-gathered (hoisted before fwd/bwd)
+        elif gather_monu:
             sup_c = jnp.take(st.monu, flat // P, axis=0)
         else:
             sup_c = jnp.zeros((K, 128), jnp.float32)
@@ -164,6 +166,14 @@ def main(vocab_per_feature=2_500_000, n_sparse=16, emb_dim=32, batch_size=4096):
             new_state = dict(state, rng=new_rng)
             if stage == "V0":
                 return new_state, jnp.float32(0)
+            sup_c_pre = None
+            if stage == "V4h":
+                # hoist the moment gather BEFORE the model fwd/bwd in trace
+                # order — a scheduler hint to overlap it with the model step
+                # the way the table gather already overlaps
+                flat_pre = (ids + trainer._fused_offsets[None, :]).reshape(-1)
+                sup_c_pre = jnp.take(
+                    state["table_opt"].monu, flat_pre // P, axis=0)
             rest, table, flat, sup, sub, total, g_rest, g_rows = fwd_bwd(
                 state, rng_key)
             if stage != "V1":
@@ -179,6 +189,7 @@ def main(vocab_per_feature=2_500_000, n_sparse=16, emb_dim=32, batch_size=4096):
                     dedup_scatter=(
                         "split" if stage.endswith("s2") else stage != "V3ns"
                     ),
+                    sup_c=sup_c_pre,
                 )
                 if stage.startswith("V4"):
                     st = state["table_opt"]
