@@ -1166,9 +1166,48 @@ class Trainer:
                 staged = self._stage_dataset(ids, dense, y, dmask)
                 step_dev = self._make_gather_step()
 
+        # Full-shuffle two-phase epochs recompute the duplicate metadata for
+        # the WHOLE epoch's batches at epoch start (~4 ms/batch host time,
+        # train/sparse_embedding.py batch_step_metadata) while the device
+        # sits idle.  Thread it one epoch AHEAD: epoch e+1's permutation is
+        # drawn on the main thread (keeping the rng_np draw sequence
+        # identical to the synchronous loop) and its numpy prep runs in a
+        # single worker while epoch e's dispatches execute on device.
+        fs_pool = fs_future = None
+        if (
+            use_device_data
+            and not block_mode
+            and shuffle is True
+            and self.two_phase_embedding
+            and not max_steps
+            and self._prefetch_batches > 0
+            and (epochs - initial_epoch) > 1
+        ):
+            from concurrent.futures import ThreadPoolExecutor
+
+            fs_pool = ThreadPoolExecutor(max_workers=1)
+
+        def _fs_host_prep(order_e, steps_e):
+            padded_e = steps_e * batch_size
+            idx_e = np.zeros(padded_e, np.int64)
+            take_e = min(n, padded_e)
+            idx_e[:take_e] = order_e[:take_e]
+            w_e = np.zeros(padded_e, np.float32)
+            w_e[:take_e] = 1.0
+            meta_e = None
+            if self.two_phase_embedding:
+                offs = np.asarray(self._fused_offsets)[None, None, :]
+                ids_e = ids[idx_e.reshape(steps_e, batch_size)]
+                flat = (ids_e.astype(np.int64) + offs).reshape(steps_e, -1)
+                meta_e = self._step_metadata(flat)
+            return idx_e, w_e, take_e, meta_e
+
         for epoch in range(initial_epoch, epochs):
             t0 = time.time()
-            order = rng_np.permutation(n) if shuffle is True else np.arange(n)
+            if fs_pool is not None and fs_future is not None:
+                order = None  # this epoch's permutation was drawn ahead
+            else:
+                order = rng_np.permutation(n) if shuffle is True else np.arange(n)
             total_loss_epoch = 0.0
             epoch_probs: List[np.ndarray] = []
             epoch_y: List[np.ndarray] = []
@@ -1233,30 +1272,33 @@ class Trainer:
                     )
                     take = int(valid.sum())
                 else:
-                    padded = steps_this_epoch * batch_size
-                    idx_full = np.zeros(padded, np.int64)
-                    take = min(n, padded)
-                    idx_full[:take] = order[:take]
-                    w_full = np.zeros(padded, np.float32)
-                    w_full[:take] = 1.0
+                    if fs_pool is not None:
+                        if fs_future is None:
+                            prep = _fs_host_prep(order, steps_this_epoch)
+                        else:
+                            prep = fs_future.result()
+                            fs_future = None
+                        if epoch + 1 < epochs:
+                            order_next = rng_np.permutation(n)
+                            fs_future = fs_pool.submit(
+                                _fs_host_prep, order_next, steps_per_epoch
+                            )
+                        idx_full, w_full, take, meta_np = prep
+                    else:
+                        idx_full, w_full, take, meta_np = _fs_host_prep(
+                            order, steps_this_epoch
+                        )
                     idx2d_dev = jnp.asarray(
                         idx_full.reshape(steps_this_epoch, batch_size).astype(np.int32)
                     )
                     w2d_dev = jnp.asarray(
                         w_full.reshape(steps_this_epoch, batch_size)
                     )
-                    dedup_dev = None
-                    if self.two_phase_embedding:
-                        # full-shuffle: batch composition changes per epoch,
-                        # recompute duplicate metadata from the host order
-                        offs = np.asarray(self._fused_offsets)[None, None, :]
-                        ids_e = ids[idx_full.reshape(steps_this_epoch, batch_size)]
-                        flat = (ids_e.astype(np.int64) + offs).reshape(
-                            steps_this_epoch, -1
-                        )
-                        dedup_dev = tuple(
-                            jnp.asarray(a) for a in self._step_metadata(flat)
-                        )
+                    dedup_dev = (
+                        tuple(jnp.asarray(a) for a in meta_np)
+                        if meta_np is not None
+                        else None
+                    )
                     if self._scan_steps:
                         pos = 0
                         while pos < steps_this_epoch:
@@ -1435,6 +1477,8 @@ class Trainer:
             if max_steps and total_steps >= max_steps:
                 break
 
+        if fs_pool is not None:
+            fs_pool.shutdown(wait=False, cancel_futures=True)
         self._train_state = state
         if train_time > 0:
             # steady-state throughput: exclude the first (compile) epoch

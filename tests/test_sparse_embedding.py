@@ -176,6 +176,29 @@ def test_two_phase_block_shuffle_end_to_end():
     assert np.isfinite(tr.history[-1]["loss"])
 
 
+def test_two_phase_epoch_prefetch_matches_synchronous():
+    """The full-shuffle epoch-metadata thread-ahead (trainer.py _fs_host_prep)
+    must be numerically invisible: the worker only moves WHEN the numpy prep
+    runs, and the rng_np permutation draw sequence is unchanged."""
+    kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+              n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,), epochs=3,
+              batch_size=128, lr=3e-3, two_phase_embedding=True)
+    tables = {}
+    for name, extra in (
+        ("sync", {"prefetch_batches": 0}),  # fs_pool gate is off
+        ("ahead", {}),  # default prefetch_batches=2 -> thread-ahead active
+    ):
+        cfg = make_config(**kw, **extra)
+        layout, x, y, _ = make_data(cfg, n=900, seed=0)  # non-divisible tail
+        model = get_model("sharedbottom", layout, cfg)
+        tr = Trainer(model, seed=0).compile()
+        tr.fit(x, y, batch_size=128, epochs=3, shuffle=True, verbose=0)
+        tables[name] = np.asarray(
+            tr.variables["params"]["embeddings"]["fused"]["table"]
+        )
+    np.testing.assert_array_equal(tables["ahead"], tables["sync"])
+
+
 def test_two_phase_matches_sparse_update_path():
     """Both flags implement SparseAdam; same data + seed must give (nearly)
     identical tables after training."""
