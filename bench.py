@@ -82,8 +82,27 @@ def main():
         "opt_state": trainer.tx.init(trainer.variables["params"]),
         "rng": jax.random.PRNGKey(1),
     }
-    step = trainer._make_train_step()
+    # Time the shipped fit() fast path: 16 train steps per dispatch via
+    # lax.scan (trainer scan_steps auto default).  Chained single-step
+    # dispatches are floor-limited at ~0.4-0.6 ms/dispatch now that the
+    # matmul embedding cotangent cut device time to ~364 us
+    # (benchmarks/probe_flagship_scan.py; docs/perf_notes.md).
+    SCAN = 16
     batch = (ids, dense, yb, dm, weight)
+
+    def scan_body(s, _):
+        new_state, *_ = trainer._step_body(s, batch)
+        return new_state, ()
+
+    @jax.jit
+    def step16(s):
+        s, _ = jax.lax.scan(scan_body, s, None, length=SCAN)
+        return s
+
+    step_fn = jax.jit(step16, donate_argnums=(0,))
+
+    def step(s, _b):
+        return (step_fn(s),)
 
     def chain_sync(state):
         # jax.block_until_ready does NOT reliably block on this image's
@@ -102,7 +121,7 @@ def main():
 
     # best of 3 trials: the tunnel-attached TPU shows 2-3x window-to-window
     # throughput variance (docs/perf_notes.md)
-    iters = 300
+    iters = 24  # x SCAN = 384 true steps per trial
     best_dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -113,7 +132,7 @@ def main():
     best_dt = max(best_dt - sync_overhead, 1e-9)
 
     n_chips = jax.device_count()
-    examples_per_s = batch_size * iters / best_dt
+    examples_per_s = batch_size * iters * SCAN / best_dt
     per_chip = examples_per_s / n_chips
     print(
         json.dumps(

@@ -85,7 +85,10 @@ class RecModel(nn.Module):
     # ---- shared submodules ------------------------------------------------
     def _make_embeddings(self) -> EmbeddingCollection:
         return EmbeddingCollection(
-            layout=self.layout, init_std=self.init_std, name="embeddings"
+            layout=self.layout,
+            init_std=self.init_std,
+            grad_mode=str(self.mc.extra.get("embedding_grad", "auto")),
+            name="embeddings",
         )
 
     def embed_inputs(self, embeddings, ids, dense):

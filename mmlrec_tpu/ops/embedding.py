@@ -13,6 +13,7 @@ all-gather collectives for the distributed lookup automatically.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import flax.linen as nn
@@ -79,6 +80,56 @@ def pack_factor_for(
     return pack_lanes // dim if use_pack else 1
 
 
+#: one-hot budget for the matmul-backward lookup: f32 [B, F, vmax] bytes.
+MATMUL_GRAD_BUDGET_BYTES = 64 << 20
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def take_rows_matmul_grad(table, ids_local, vocab_sizes, vmax):
+    """``take(table, local_ids + offsets)`` whose BACKWARD is a one-hot
+    einsum (MXU matmul) instead of XLA's scatter-add.
+
+    The scanned stage decomposition of the flagship step
+    (benchmarks/probe_flagship_stages.py --scan) pins the backward pass at
+    ~735 us of the 841 us device time while forward+loss is ~7 us; the
+    culprit is the [B*F]-row scatter-add cotangent of ``jnp.take``, which
+    this backend runs at per-row cost (~28 ns/row; docs/perf_notes.md
+    "Scatter cost isolation").  For small fused tables the cotangent is
+    instead computed as ``g_block[s] = onehot(ids[:, s])^T @ g[:, s]`` per
+    feature — pure MXU work (B*F*vmax*D*2 flops ~ 0.1 GFLOP at flagship
+    shapes) — and the per-feature blocks concatenate to the [V, D] table
+    cotangent because fused blocks are contiguous and disjoint.
+
+    Numerics: forward is bit-identical (same ``take``); the gradient is an
+    f32 matmul reduction over the batch instead of scatter-add order, equal
+    to f32 rounding (~4e-6 at flagship scale).
+    """
+    offs = np.concatenate([[0], np.cumsum(vocab_sizes)[:-1]]).astype(np.int32)
+    return jnp.take(table, ids_local + jnp.asarray(offs)[None, :], axis=0)
+
+
+def _take_rows_mm_fwd(table, ids_local, vocab_sizes, vmax):
+    out = take_rows_matmul_grad(table, ids_local, vocab_sizes, vmax)
+    return out, (ids_local, table.shape)
+
+
+def _take_rows_mm_bwd(vocab_sizes, vmax, res, g):
+    ids_local, tshape = res
+    oh = jax.nn.one_hot(ids_local, vmax, dtype=g.dtype)  # [B, F, vmax]
+    gb = jnp.einsum("bsv,bsd->svd", oh, g)  # [F, vmax, D]
+    blocks = [gb[s, :v] for s, v in enumerate(vocab_sizes)]
+    pad = tshape[0] - sum(vocab_sizes)
+    if pad:
+        blocks.append(jnp.zeros((pad, tshape[1]), g.dtype))
+    return (
+        jnp.concatenate(blocks, axis=0),
+        np.zeros(ids_local.shape, jax.dtypes.float0),
+    )
+
+
+take_rows_matmul_grad.defvjp(_take_rows_mm_fwd, _take_rows_mm_bwd)
+
+
 class FusedEmbedding(nn.Module):
     """One table for many categorical features with a shared dim.
 
@@ -106,6 +157,10 @@ class FusedEmbedding(nn.Module):
     pack_lanes: int = 128
     pack_min_rows: int = 1 << 18
     packed: bool | None = None  # None = auto by size/dim
+    # "auto" | "matmul" | "scatter": how the table cotangent is computed on
+    # the unpacked path (see take_rows_matmul_grad).  auto = matmul whenever
+    # the one-hot fits MATMUL_GRAD_BUDGET_BYTES at the traced batch size.
+    grad_mode: str = "auto"
 
     def setup(self):
         offsets = np.concatenate([[0], np.cumsum(self.vocab_sizes)[:-1]]).astype(np.int32)
@@ -138,6 +193,15 @@ class FusedEmbedding(nn.Module):
         flat_ids = ids + self._offsets[None, :]
         P = self.pack_factor
         if P == 1:
+            vmax = int(max(self.vocab_sizes))
+            onehot_bytes = int(np.prod(ids.shape)) * vmax * 4
+            if self.grad_mode == "matmul" or (
+                self.grad_mode == "auto"
+                and onehot_bytes <= MATMUL_GRAD_BUDGET_BYTES
+            ):
+                return take_rows_matmul_grad(
+                    self.table, ids, tuple(self.vocab_sizes), vmax
+                )
             return jnp.take(self.table, flat_ids, axis=0)
         sup = jnp.take(self.table, flat_ids // P, axis=0)  # [B, F, 128]
         sub = jax.nn.one_hot(flat_ids % P, P, dtype=self.table.dtype)
@@ -158,6 +222,7 @@ class EmbeddingCollection(nn.Module):
     layout: FeatureLayout
     init_std: float = 1e-4
     pad_to: int = 128
+    grad_mode: str = "auto"  # threaded to FusedEmbedding (embedding_grad)
 
     def setup(self):
         sparse_names = [s.feature.embedding_name for s in self.layout.sparse_slots]
@@ -172,6 +237,7 @@ class EmbeddingCollection(nn.Module):
                 dim=sparse_dims.pop(),
                 init_std=self.init_std,
                 pad_to=self.pad_to,
+                grad_mode=self.grad_mode,
             )
             # varlen features (and only those) get dedicated tables.
             table_names = varlen_names

@@ -234,13 +234,15 @@ class Trainer:
         self._device_data_bytes_cap = 4 * 1024**3
         raw_scan = mc.extra.get("scan_steps", None)
         if raw_scan is None:
-            if self.sparse_embedding_update or self.two_phase_embedding:
-                P = self._emb_pack_factor
-                width = 128 if P > 1 else self._emb_dim
-                table_bytes = self._emb_phys_rows_static() * width * 4
-            else:
-                table_bytes = 0
-            self._scan_steps = 16 if table_bytes >= (1 << 28) else 0
+            # auto: 16 steps per dispatch on the device-data fast path.
+            # Originally enabled only for >= 256 MB tables (whose donated
+            # state carries a ~6.3 ms/dispatch floor); after the matmul
+            # embedding cotangent cut the flagship device time to ~364 us,
+            # even the SMALL-state per-dispatch floor (~0.4-0.6 ms,
+            # window-dependent) dominates chained dispatches, and scan16
+            # measured 1.26x over chained on the flagship step
+            # (benchmarks/probe_flagship_scan.py; docs/perf_notes.md).
+            self._scan_steps = 16
         else:
             self._scan_steps = -1 if raw_scan is True else int(raw_scan or 0)
         self._tx_wrapped = False

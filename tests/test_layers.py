@@ -166,6 +166,58 @@ def test_fused_embedding_offsets():
     assert table.shape[0] == 8  # padded
 
 
+def test_fused_embedding_matmul_grad_matches_scatter():
+    """The one-hot einsum table cotangent (ops/embedding.py
+    take_rows_matmul_grad) must equal the scatter-add cotangent to f32
+    rounding, with an identical forward, including duplicate ids in a batch
+    and untouched/padding rows staying zero."""
+    vocabs, dim = (5, 3, 9), 4
+    ids = jnp.asarray(
+        [[0, 2, 8], [4, 2, 8], [0, 0, 0], [4, 1, 3]], jnp.int32
+    )  # duplicates across rows and within columns
+    mods = {
+        mode: FusedEmbedding(vocab_sizes=vocabs, dim=dim, pad_to=8, grad_mode=mode)
+        for mode in ("matmul", "scatter")
+    }
+    params = mods["scatter"].init(KEY, ids)
+    outs = {m: mods[m].apply(params, ids) for m in mods}
+    np.testing.assert_array_equal(np.asarray(outs["matmul"]), np.asarray(outs["scatter"]))
+    grads = {
+        m: np.asarray(
+            jax.grad(lambda p, m=m: (jnp.sin(mods[m].apply(p, ids)) ** 2).sum())(
+                params
+            )["params"]["table"]
+        )
+        for m in mods
+    }
+    np.testing.assert_allclose(grads["matmul"], grads["scatter"], rtol=1e-5, atol=1e-7)
+    # rows beyond the fused vocab (padding) and never-gathered rows get 0
+    assert np.all(grads["matmul"][sum(vocabs):] == 0)
+    touched = {0, 4, 5 + 2, 5 + 0, 5 + 1, 8 + 8, 8 + 3, 8 + 0}
+    untouched = sorted(set(range(sum(vocabs))) - touched)
+    assert np.all(grads["matmul"][untouched] == 0)
+
+
+def test_fused_embedding_matmul_grad_auto_budget():
+    """auto mode falls back to scatter when the one-hot would exceed the
+    budget (huge vocab), and uses the matmul path under it."""
+    from mmlrec_tpu.ops import embedding as emb_mod
+
+    ids = jnp.asarray([[1, 2]], jnp.int32)
+    small = FusedEmbedding(vocab_sizes=(4, 4), dim=2, pad_to=8, grad_mode="auto")
+    params = small.init(KEY, ids)
+    # under budget: the custom_vjp primitive appears in the jaxpr
+    jaxpr = str(jax.make_jaxpr(lambda p: small.apply(p, ids))(params))
+    assert "custom_vjp" in jaxpr
+    old = emb_mod.MATMUL_GRAD_BUDGET_BYTES
+    try:
+        emb_mod.MATMUL_GRAD_BUDGET_BYTES = 0  # force over-budget
+        jaxpr2 = str(jax.make_jaxpr(lambda p: small.apply(p, ids))(params))
+        assert "custom_vjp" not in jaxpr2
+    finally:
+        emb_mod.MATMUL_GRAD_BUDGET_BYTES = old
+
+
 def test_fused_embedding_lane_packed_matches_plain():
     """Packed [rows/P, 128] layout is bit-exact vs the plain layout.
 

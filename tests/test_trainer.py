@@ -174,17 +174,18 @@ def test_scan_steps_two_phase_pallas():
 
 
 def test_scan_steps_auto_resolution():
-    """Unset scan_steps auto-enables 16-step chunks only for million-row
-    two-phase tables; explicit 0 disables."""
+    """Unset scan_steps auto-enables 16-step chunks (the per-dispatch floor
+    dominates chained dispatches at every state size once the embedding
+    cotangent is a matmul — probe_flagship_scan.py); explicit 0 disables."""
     from mmlrec_tpu.models import get_model
     from mmlrec_tpu.synthetic import make_config, make_data
 
     kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
               n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,), epochs=1,
               batch_size=128, lr=3e-3)
-    cfg = make_config(**kw)  # small vocab, no two_phase -> off
+    cfg = make_config(**kw)  # auto -> on everywhere
     layout, x, y, _ = make_data(cfg, n=200, seed=0)
-    assert Trainer(get_model("sharedbottom", layout, cfg), seed=0)._scan_steps == 0
+    assert Trainer(get_model("sharedbottom", layout, cfg), seed=0)._scan_steps == 16
     cfg2 = make_config(**kw, two_phase_embedding=True, vocab=3_000_000)
     layout2, *_ = make_data(cfg2, n=200, seed=0, vocab=3_000_000)
     tr2 = Trainer(get_model("sharedbottom", layout2, cfg2), seed=0)
