@@ -94,7 +94,6 @@ def main():
         new_state, *_ = trainer._step_body(s, batch)
         return new_state, ()
 
-    @jax.jit
     def step16(s):
         s, _ = jax.lax.scan(scan_body, s, None, length=SCAN)
         return s

@@ -1,5 +1,8 @@
 """Per-model training throughput on AliExpress-MSL shapes (one JSON line per
-model; full jitted train step, chained over 30 iterations)."""
+model; full jitted train step, 16 steps per dispatch via lax.scan — the
+shipped fit() fast path.  Chained single-step dispatches are limited by the
+0.4-1.1 ms window-dependent per-dispatch floor, which post-round-2 exceeds
+most models' device time; see docs/perf_notes.md "Flagship backward")."""
 
 from __future__ import annotations
 
@@ -47,7 +50,20 @@ def bench_model(name: str, batch_size: int = 4096, iters: int = 200):
         "opt_state": trainer.tx.init(trainer.variables["params"]),
         "rng": jax.random.PRNGKey(1),
     }
-    step = trainer._make_train_step()
+    SCAN = 16
+
+    def scan_body(s, _):
+        new_state, *_ = trainer._step_body(s, batch)
+        return new_state, ()
+
+    def _step16(s):
+        s, _ = jax.lax.scan(scan_body, s, None, length=SCAN)
+        return s
+
+    step_fn = jax.jit(_step16, donate_argnums=(0,))
+
+    def step(s, _b):
+        return (step_fn(s),)
 
     def chain_sync(s):
         # block_until_ready does not reliably block on this backend
@@ -64,12 +80,15 @@ def bench_model(name: str, batch_size: int = 4096, iters: int = 200):
     state, *_ = step(state, batch)
     chain_sync(state)
     sync_overhead = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, *_ = step(state, batch)
-    chain_sync(state)
-    dt = max(time.perf_counter() - t0 - sync_overhead, 1e-9)
-    return batch_size * iters / dt
+    iters = max(iters // SCAN, 1)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, *_ = step(state, batch)
+        chain_sync(state)
+        best = min(best, max(time.perf_counter() - t0 - sync_overhead, 1e-9))
+    return batch_size * iters * SCAN / best
 
 
 def main():

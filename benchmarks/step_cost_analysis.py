@@ -51,34 +51,47 @@ def main(batch_size: int = 4096):
         "opt_state": trainer.tx.init(trainer.variables["params"]),
         "rng": jax.random.PRNGKey(1),
     }
-    step_fn = jax.jit(trainer._step_body)
-    lowered = step_fn.lower(state, batch)
+    # the shipped fit() fast path: 16 steps per dispatch via lax.scan
+    # (chained dispatches are limited by the 0.4-1.1 ms window-dependent
+    # per-dispatch floor; docs/perf_notes.md "Flagship backward")
+    SCAN = 16
+
+    def scan_body(s, _):
+        new_state, *_ = trainer._step_body(s, batch)
+        return new_state, ()
+
+    def step16(s):
+        s, _ = jax.lax.scan(scan_body, s, None, length=SCAN)
+        return s
+
+    step_fn = jax.jit(step16, donate_argnums=(0,))
+    lowered = step_fn.lower(state)
     compiled = lowered.compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
-    flops = float(ca.get("flops", 0.0))
-    bytes_acc = float(ca.get("bytes accessed", 0.0))
+    flops = float(ca.get("flops", 0.0)) / SCAN
+    bytes_acc = float(ca.get("bytes accessed", 0.0)) / SCAN
 
     # measured step time, chain-synced (same protocol as bench.py)
     def chain_sync(s):
         return float(np.asarray(s["params"]["out"]["bias"])[0])
 
     for _ in range(3):
-        state, *_ = step_fn(state, batch)
+        state = step_fn(state)
     chain_sync(state)
     t0 = time.perf_counter()
     chain_sync(state)
     sync_overhead = time.perf_counter() - t0
-    iters = 300
+    iters = 24
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
-            state, *_ = step_fn(state, batch)
+            state = step_fn(state)
         chain_sync(state)
         best = min(best, max(time.perf_counter() - t0 - sync_overhead, 1e-9))
-    measured_us = best / iters * 1e6
+    measured_us = best / (iters * SCAN) * 1e6
 
     compute_us = flops / PEAK_BF16_FLOPS * 1e6
     hbm_us = bytes_acc / PEAK_HBM_GBS * 1e6
