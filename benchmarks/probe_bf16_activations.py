@@ -46,9 +46,17 @@ def make_step(dtype_name):
     act = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
 
     def fwd(p, ids, dense, y):
+        from mmlrec_tpu.ops.embedding import take_rows_matmul_grad
+
         c = lambda w: w.astype(act)
+        # matmul cotangent (round 2): without it the step is dominated by
+        # the embedding scatter-add and activation dtype is invisible
+        ids_local = ids - jnp.arange(NS, dtype=ids.dtype)[None, :] * VOCAB
+        rows = take_rows_matmul_grad(
+            p["emb"], ids_local, (VOCAB,) * NS, VOCAB
+        )
         x = jnp.concatenate(
-            [jnp.take(p["emb"], ids, axis=0).reshape(B, NS * D), dense], axis=1
+            [rows.reshape(B, NS * D), dense], axis=1
         ).astype(act)
         h = jax.nn.relu(jnp.einsum("bi,eih->beh", x, c(p["w1"])))
         h = jax.nn.relu(jnp.einsum("beh,eho->beo", h, c(p["w2"])))  # [B,E,H2]
@@ -63,13 +71,21 @@ def make_step(dtype_name):
             jnp.maximum(lf, 0) - lf * y + jnp.log1p(jnp.exp(-jnp.abs(lf)))
         )
 
-    @jax.jit
-    def step(p, ids, dense, y):
+    def step1(p, ids, dense, y):
         loss, g = jax.value_and_grad(fwd)(p, ids, dense, y)
         p = jax.tree_util.tree_map(lambda w, gw: w - 1e-3 * gw, p, g)
         return p, loss
 
-    return step
+    # scan16 like the shipped fit path (chained dispatches are limited by
+    # the 0.4-1.1 ms per-dispatch floor post round 2)
+    def step(p, ids, dense, y):
+        def body(pp, _):
+            pp, loss = step1(pp, ids, dense, y)
+            return pp, loss
+        p, losses = jax.lax.scan(body, p, None, length=16)
+        return p, losses[-1]
+
+    return jax.jit(step, donate_argnums=(0,))
 
 
 def main():
@@ -93,7 +109,7 @@ def main():
         params[v], _ = s(params[v], ids, dense, y)
         chain_sync(params[v])
 
-    iters, rounds = 200, 5
+    iters, rounds = 24, 5  # x16 scanned steps per dispatch
     best = {v: float("inf") for v in steps}
     for _ in range(rounds):
         for v, s in steps.items():
@@ -102,7 +118,7 @@ def main():
             for _ in range(iters):
                 p, _ = s(p, ids, dense, y)
             chain_sync(p)
-            best[v] = min(best[v], (time.perf_counter() - t0) / iters)
+            best[v] = min(best[v], (time.perf_counter() - t0) / (iters * 16))
             params[v] = p
     print(json.dumps({
         "metric": "bf16_activation_probe",

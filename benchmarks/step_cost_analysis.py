@@ -70,8 +70,12 @@ def main(batch_size: int = 4096):
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
-    flops = float(ca.get("flops", 0.0)) / SCAN
-    bytes_acc = float(ca.get("bytes accessed", 0.0)) / SCAN
+    # XLA's cost analysis counts a while-loop body ONCE (it does not
+    # multiply by the trip count), so the scanned program's numbers ARE the
+    # per-step numbers (verified: they match the chained single-step
+    # program's 9.16 GFLOP / 481 MB).
+    flops = float(ca.get("flops", 0.0))
+    bytes_acc = float(ca.get("bytes accessed", 0.0))
 
     # measured step time, chain-synced (same protocol as bench.py)
     def chain_sync(s):
