@@ -102,6 +102,39 @@ class SeedSuiteTrainer:
         vstep = jax.vmap(one_seed, in_axes=(0, 0, None, None))
         return jax.jit(vstep, donate_argnums=(0,))
 
+    def _make_vscan(self, steps: int, length: int):
+        """length vmapped steps per dispatch via lax.scan — same body as
+        _make_vstep (epoch_step indexes each seed's next batch), so
+        numerics are identical to the chained loop; amortizes the
+        0.4-1.1 ms per-dispatch floor (docs/perf_notes.md "Flagship
+        backward")."""
+        tr = self.tr
+
+        def one_seed(state, idx2d, w2d, staged):
+            s = state["epoch_step"] % steps
+            bs = idx2d.shape[1]
+            idx = jax.lax.dynamic_slice(idx2d, (s, 0), (1, bs))[0]
+            w = jax.lax.dynamic_slice(w2d, (s, 0), (1, bs))[0]
+            rows = jnp.take(staged, idx, axis=0)
+            batch = tr._split_staged(rows, w)
+            new_state, tl, dl, probs = tr._step_body(state, batch)
+            new_state["epoch_step"] = state["epoch_step"] + 1
+            return new_state, tl, probs
+
+        vstep = jax.vmap(one_seed, in_axes=(0, 0, None, None))
+
+        def runner(state, idx3, w2d, staged):
+            def body(s, _):
+                s2, tl, probs = vstep(s, idx3, w2d, staged)
+                return s2, (tl, probs)
+
+            state, (tls, probs) = jax.lax.scan(
+                body, state, None, length=length
+            )
+            return state, tls, probs  # tls [L, S]; probs [L, S, bs, T]
+
+        return jax.jit(runner, donate_argnums=(0,))
+
     def _make_vpred(self):
         tr = self.tr
         pred_one = tr._make_predict_fn()
@@ -198,7 +231,16 @@ class SeedSuiteTrainer:
             state["gn_step"] = jnp.zeros((S,), jnp.int32)
 
         staged = tr._stage_dataset(ids, dense, y2, dmask)
-        vstep = self._make_vstep(steps)
+        scan_l = steps if tr._scan_steps < 0 else tr._scan_steps
+        if scan_l:
+            chunk = min(scan_l, steps)
+            runners = {chunk: self._make_vscan(steps, chunk)}
+            if steps % chunk:
+                runners[steps % chunk] = self._make_vscan(steps, steps % chunk)
+            vstep = None
+        else:
+            runners = {}
+            vstep = self._make_vstep(steps)
         rngs = [np.random.default_rng(s) for s in self.seeds]
 
         padded = steps * batch_size
@@ -236,12 +278,23 @@ class SeedSuiteTrainer:
 
             loss_refs = []
             prob_refs = []
-            for _ in range(steps):
-                state, tl, probs = vstep(state, idx3_dev, w2d, staged)
-                loss_refs.append(tl)
-                if tr.metric_fns:
-                    prob_refs.append(probs)
-            losses = np.asarray(jnp.stack(loss_refs))  # [steps, S]
+            if runners:
+                pos = 0
+                while pos < steps:
+                    L = min(max(runners), steps - pos)
+                    state, tls, probs = runners[L](state, idx3_dev, w2d, staged)
+                    loss_refs.append(tls)  # [L, S]
+                    if tr.metric_fns:
+                        prob_refs.append(probs)  # [L, S, bs, T]
+                    pos += L
+                losses = np.asarray(jnp.concatenate(loss_refs, axis=0))
+            else:
+                for _ in range(steps):
+                    state, tl, probs = vstep(state, idx3_dev, w2d, staged)
+                    loss_refs.append(tl)
+                    if tr.metric_fns:
+                        prob_refs.append(probs[None])
+                losses = np.asarray(jnp.stack(loss_refs))  # [steps, S]
             epoch_time = time.time() - t0
 
             per_seed_logs = [
@@ -250,7 +303,7 @@ class SeedSuiteTrainer:
             ]
             if tr.metric_fns and prob_refs:
                 # [steps, S, bs, T] -> per-seed train metrics on its own rows
-                probs_all = np.asarray(jnp.stack(prob_refs))
+                probs_all = np.asarray(jnp.concatenate(prob_refs, axis=0))
                 for si in range(S):
                     p = probs_all[:, si].reshape(padded, -1)[: n]
                     rows = idx3[si].reshape(-1)[:n]
