@@ -1,11 +1,10 @@
-"""Flagship step time vs batch size: fixed overhead vs B-proportional cost.
+"""Flagship step time vs batch size (scan16, post round 2).
 
-The roofline study (step_cost_analysis.py) shows the B=4096 flagship step
-is HBM-bound at ~560 us with ~320 us of residual.  If the residual is a
-fixed per-step cost, larger batches amortize it and single-chip throughput
-keeps climbing; if it scales with B, 4096 is already representative.  This
-sweeps B and fits time(B) = a + b*B.  Chain-synced, best-of-N per size.
-Prints one JSON line.
+Round-1 ran this CHAINED and read a ~369 us "fixed term" — that was the
+per-dispatch floor (max(floor, device time); probe_flagship_scan.py), not
+in-program cost.  This version scans 16 steps per dispatch like the shipped
+fit path, so the fit time(B) = a + b*B reflects true device cost.
+Chain-synced, interleaved best-of-N per size.  Prints one JSON line.
 """
 from __future__ import annotations
 
@@ -52,7 +51,18 @@ def main():
             "opt_state": tr.tx.init(tr.variables["params"]),
             "rng": jax.random.PRNGKey(1),
         }
-        steps[bs] = jax.jit(tr._step_body)
+        def _mk(tr=tr, batch_ref=bs):
+            def body(s, _):
+                new_state, *_ = tr._step_body(s, batches[batch_ref])
+                return new_state, ()
+
+            def step16(s, _b):
+                s, _ = jax.lax.scan(body, s, None, length=16)
+                return (s,)
+
+            return jax.jit(step16, donate_argnums=(0,))
+
+        steps[bs] = _mk()
 
     def chain_sync(s):
         return float(np.asarray(s["params"]["out"]["bias"])[0])
@@ -62,7 +72,7 @@ def main():
         states[bs], *_ = steps[bs](states[bs], batches[bs])
         chain_sync(states[bs])
 
-    iters, rounds = 200, 4
+    iters, rounds = 24, 4  # x16 scanned steps per dispatch
     best = {bs: float("inf") for bs in BATCHES}
     for _ in range(rounds):
         for bs in BATCHES:  # interleaved so window drift hits all sizes
@@ -71,7 +81,7 @@ def main():
             for _ in range(iters):
                 s, *_ = steps[bs](s, batches[bs])
             chain_sync(s)
-            best[bs] = min(best[bs], (time.perf_counter() - t0) / iters)
+            best[bs] = min(best[bs], (time.perf_counter() - t0) / (iters * 16))
             states[bs] = s
 
     xs = np.asarray(BATCHES, np.float64)
