@@ -29,7 +29,17 @@ json.dump(raw, open(sys.argv[2], "w"))
 PY
   extra=""
   if [ "$SYNTHETIC" = "1" ]; then extra="--synthetic --synthetic_rows $ROWS"; fi
-  timeout 900 python main.py --config "results/${name}.json" --seeds "$SEEDS" $extra 2>&1 | tail -1
+  # Wide configs (kuairec-msl: 33 features, 512/256 nets) compile in 5-390 s
+  # PER PROGRAM through the relay depending on the window (CLAUDE.md);
+  # retry once so a slow window doesn't sink the run.
+  for attempt in 1 2; do
+    timeout 1500 python main.py --config "results/${name}.json" \
+        --seeds "$SEEDS" $extra > "results/${name}.log" 2>&1
+    rc=$?
+    tail -1 "results/${name}.log"
+    [ $rc -eq 0 ] && break
+    echo "--- $name attempt $attempt exit $rc; retrying"
+  done
 done
 echo "=== results:"
 ls results/*.csv
