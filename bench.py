@@ -113,8 +113,11 @@ def main():
     for _ in range(3):
         state, *_ = step(state, batch)
     chain_sync(state)
+    # sync overhead = readback RTT on an ALREADY-synced state.  Do NOT time
+    # a dispatch here: one scanned dispatch is 16 true steps of device work,
+    # and subtracting that from a 24-dispatch trial would inflate the
+    # reported throughput ~4% (round-2 review finding).
     sync_overhead_t0 = time.perf_counter()
-    state, *_ = step(state, batch)
     chain_sync(state)
     sync_overhead = time.perf_counter() - sync_overhead_t0
 

@@ -76,8 +76,10 @@ def bench_model(name: str, batch_size: int = 4096, iters: int = 200):
     for _ in range(3):
         state, *_ = step(state, batch)
     chain_sync(state)
+    # readback RTT on an already-synced state — must NOT include a dispatch
+    # (a scanned dispatch is 16 steps of device work; subtracting it from a
+    # 12-dispatch trial would inflate throughput ~9%)
     t0 = time.perf_counter()
-    state, *_ = step(state, batch)
     chain_sync(state)
     sync_overhead = time.perf_counter() - t0
     iters = max(iters // SCAN, 1)

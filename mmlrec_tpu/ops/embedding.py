@@ -81,7 +81,12 @@ def pack_factor_for(
 
 
 #: one-hot budget for the matmul-backward lookup: f32 [B, F, vmax] bytes.
-MATMUL_GRAD_BUDGET_BYTES = 64 << 20
+#: Break-even vs the scatter cotangent is vmax ~ 5000 (one-hot HBM bytes/row
+#: vmax*4B at ~819 GB/s vs ~28 ns/row scatter), so the cap is about MEMORY,
+#: not speed: batch_scaling.py measured B=16384 falling off a 12M -> 5M
+#: examples/s cliff when the flagship's 105 MB one-hot exceeded the old
+#: 64 MB cap and the path fell back to scatter.
+MATMUL_GRAD_BUDGET_BYTES = 128 << 20
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -193,6 +198,11 @@ class FusedEmbedding(nn.Module):
         flat_ids = ids + self._offsets[None, :]
         P = self.pack_factor
         if P == 1:
+            if self.grad_mode not in ("auto", "matmul", "scatter"):
+                raise ValueError(
+                    f"embedding_grad must be 'auto', 'matmul' or 'scatter'; "
+                    f"got {self.grad_mode!r}"
+                )
             vmax = int(max(self.vocab_sizes))
             onehot_bytes = int(np.prod(ids.shape)) * vmax * 4
             if self.grad_mode == "matmul" or (

@@ -17,6 +17,7 @@ from typing import Callable, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .initializers import (
     eye_init,
@@ -45,9 +46,19 @@ def activation_fn(name: Optional[str]) -> Callable[[jnp.ndarray], jnp.ndarray]:
 
 
 class _PReLU(nn.Module):
+    """torch nn.PReLU (init 0.25).  ``param_shape=(K, 1)`` inside a stacked
+    [B, K, h] MLP gives each stack element its own alpha, matching the
+    reference's one nn.PReLU per expert/task (its parameter is named
+    ``weight`` there, so the reference's L2 filter includes it — see
+    losses.l2_regularization)."""
+
+    param_shape: Tuple[int, ...] = (1,)
+
     @nn.compact
     def __call__(self, x):
-        alpha = self.param("alpha", lambda k, s: 0.25 * jnp.ones(s), (1,))
+        alpha = self.param(
+            "alpha", lambda k, s: 0.25 * jnp.ones(s), self.param_shape
+        )
         return jnp.where(x >= 0, x, alpha * x)
 
 
@@ -191,7 +202,9 @@ class StackedMLP(nn.Module):
                 )(x)
             if self.activation is not None and self.activation != "":
                 if self.activation.lower() == "prelu":
-                    x = _PReLU(name=f"prelu_{i}")(x)
+                    # per-stack alpha, like the reference's one PReLU per
+                    # expert/task module
+                    x = _PReLU(param_shape=(self.stack, 1), name=f"prelu_{i}")(x)
                 elif self.activation.lower() == "dice":
                     x = Dice(name=f"dice_{i}")(x, train=train)
                 else:
@@ -251,7 +264,7 @@ class WideLinear(nn.Module):
         logit = jnp.zeros((B, 1), jnp.float32)
         if self.vocab_sizes:
             offsets = jnp.asarray(
-                [0] + list(jnp.cumsum(jnp.asarray(self.vocab_sizes))[:-1]),
+                np.concatenate([[0], np.cumsum(self.vocab_sizes)[:-1]]),
                 jnp.int32,
             )
             table = self.param(

@@ -109,6 +109,16 @@ def make_explicit_two_phase_step(trainer):
         # alongside fwd+bwd.
         flat_all = jax.lax.all_gather(flat_local, "data", tiled=True)
         k_glob = k_loc * n_data
+        if exchange_chunks > 1 and k_loc % exchange_chunks != 0:
+            import warnings
+
+            warnings.warn(
+                f"grad_exchange_chunks={exchange_chunks} ignored: the local "
+                f"row count k_loc={k_loc} (batch/shard x n_sparse) is not "
+                f"divisible by it — falling back to the single all-gather. "
+                f"Pick a divisor of {k_loc}.",
+                stacklevel=2,
+            )
         if exchange_chunks > 1 and k_loc % exchange_chunks == 0:
             # Pipelined exchange: C tiled all-gathers of [k_loc/C, D] each;
             # tile c's duplicate-reduction scatter overlaps tile c+1's wire

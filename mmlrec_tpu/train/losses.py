@@ -181,8 +181,10 @@ def l2_regularization(
 
     ``dnn_prefixes`` carries that per-model set (each model's
     ``REG_DNN_PREFIXES``): a leaf is penalized iff its top-level module
-    name starts with one of the prefixes and the leaf is a ``kernel``
-    (the reference's 'weight'-named filter == kernels, never biases).
+    name starts with one of the prefixes and the leaf is weight-like —
+    a ``kernel``, or a PReLU ``alpha`` (torch names PReLU's parameter
+    ``weight``, so the reference's 'weight'-in-name filter includes it;
+    biases and BN params never match).
     ``dnn_prefixes=None`` falls back to the round-1 global heuristic
     (every kernel-like weight) — opt-in via ``l2_reg_inclusion:
     "all_kernels"``.
@@ -206,7 +208,16 @@ def l2_regularization(
             continue
         if dnn_prefixes is not None:
             top = str(keys[0]) if keys else ""
-            include = str(keys[-1]) == "kernel" and any(
+            leaf_name = str(keys[-1])
+            # the reference's filter is `'weight' in name and 'bn' not in
+            # name`: that is every Linear kernel PLUS torch PReLU's
+            # parameter (named `weight`); our _PReLU names it `alpha`.
+            # BN scale/bias ('bn' in name there, scale/bias here) excluded.
+            weight_like = leaf_name == "kernel" or (
+                leaf_name == "alpha"
+                and any(str(k).startswith("prelu") for k in keys)
+            )
+            include = weight_like and any(
                 top.startswith(pref) for pref in dnn_prefixes
             )
         else:

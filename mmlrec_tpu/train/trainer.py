@@ -1176,6 +1176,12 @@ class Trainer:
         # identical to the synchronous loop) and its numpy prep runs in a
         # single worker while epoch e's dispatches execute on device.
         fs_pool = fs_future = None
+        # A fit() aborted mid-epoch (e.g. the relay dying) exits through the
+        # exception before the post-loop shutdown; clean up that previous
+        # pool here so retry loops don't accumulate worker threads.
+        if getattr(self, "_fs_pool", None) is not None:
+            self._fs_pool.shutdown(wait=False, cancel_futures=True)
+            self._fs_pool = None
         if (
             use_device_data
             and not block_mode
@@ -1188,6 +1194,7 @@ class Trainer:
             from concurrent.futures import ThreadPoolExecutor
 
             fs_pool = ThreadPoolExecutor(max_workers=1)
+            self._fs_pool = fs_pool
 
         def _fs_host_prep(order_e, steps_e):
             padded_e = steps_e * batch_size
@@ -1481,6 +1488,7 @@ class Trainer:
 
         if fs_pool is not None:
             fs_pool.shutdown(wait=False, cancel_futures=True)
+            self._fs_pool = None
         self._train_state = state
         if train_time > 0:
             # steady-state throughput: exclude the first (compile) epoch

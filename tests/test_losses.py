@@ -196,3 +196,36 @@ def test_loss_weights_scale_heads():
     weighted = float(multitask_loss(probs, y, w, ["binary_crossentropy"] * 2,
                                     "mtl", 1, loss_weights=[1.0, 2.0]))
     assert abs(weighted - (base0 + 2.0 * base1)) < 1e-4
+
+
+def test_l2_prefix_mode_includes_prelu_alpha():
+    """The reference's L2 filter is `'weight' in name and 'bn' not in name`,
+    which catches torch PReLU's parameter (named `weight`) inside registered
+    DNNs; our _PReLU names it `alpha` — prefix-mode l2_regularization must
+    include it (and per-stack alphas must exist, one per expert like the
+    reference's one nn.PReLU per module)."""
+    import jax
+
+    from mmlrec_tpu.models import get_model
+    from mmlrec_tpu.synthetic import make_config, make_data
+    from mmlrec_tpu.train import Trainer
+    from mmlrec_tpu.train.losses import l2_regularization
+
+    cfg = make_config(task_name="mtl", model_name="mmoe", n_sparse=3,
+                      n_dense=2, hidden=(8, 4), tower=(4,), gate=(4,),
+                      batch_size=32, dnn_activation="prelu")
+    layout, x, y, _ = make_data(cfg, n=64, seed=0)
+    model = get_model("mmoe", layout, cfg)
+    tr = Trainer(model, seed=0).compile()
+    ids, dense = tr.pack_inputs(x)
+    params = tr._init_variables(ids[:4], dense[:4])["params"]
+    # per-stack alphas: expert_dnn prelu has one alpha per expert
+    a = params["expert_dnn"]["prelu_0"]["alpha"]
+    assert a.shape == (cfg.model_config.num_experts, 1)
+    prefixes = model.REG_DNN_PREFIXES
+    base = float(l2_regularization(params, 0.0, 1.0, dnn_prefixes=prefixes))
+    bumped = jax.tree_util.tree_map(lambda v: v, params)
+    bumped["expert_dnn"]["prelu_0"]["alpha"] = a + 1.0
+    assert float(
+        l2_regularization(bumped, 0.0, 1.0, dnn_prefixes=prefixes)
+    ) > base + 1.0  # alpha moved the penalty -> it is inside the set
