@@ -135,9 +135,14 @@ class FeatureLayout:
         self.dense_slots: List[_DenseSlot] = []
         self._by_name: Dict[str, object] = {}
 
+        # Sparse slots take the LEADING id columns (then varlen spans), in
+        # first-occurrence order, regardless of how sparse/varlen interleave
+        # in feature_columns: this is the order Trainer.pack_inputs packs and
+        # the contract ``ids[:, :n_sparse]`` sites rely on (models/base.py).
         id_cursor = 0
         dense_cursor = 0
         seen = set()
+        deferred_varlen: List[VarLenSparseFeat] = []
         for feat in self.feature_columns:
             if feat.name in seen:
                 continue
@@ -153,18 +158,20 @@ class FeatureLayout:
                 self.dense_slots.append(slot)
                 self._by_name[feat.name] = slot
             elif isinstance(feat, VarLenSparseFeat):
-                length_slot = None
-                start = id_cursor
-                id_cursor += feat.maxlen
-                if feat.length_name is not None and feat.length_name not in seen:
-                    seen.add(feat.length_name)
-                    length_slot = id_cursor
-                    id_cursor += 1
-                slot = _VarLenSlot(feat, start, start + feat.maxlen, length_slot)
-                self.varlen_slots.append(slot)
-                self._by_name[feat.name] = slot
+                deferred_varlen.append(feat)
             else:
                 raise TypeError(f"Invalid feature column type: {type(feat)}")
+        for feat in deferred_varlen:
+            length_slot = None
+            start = id_cursor
+            id_cursor += feat.maxlen
+            if feat.length_name is not None and feat.length_name not in seen:
+                seen.add(feat.length_name)
+                length_slot = id_cursor
+                id_cursor += 1
+            slot = _VarLenSlot(feat, start, start + feat.maxlen, length_slot)
+            self.varlen_slots.append(slot)
+            self._by_name[feat.name] = slot
 
         self.num_id_slots = id_cursor
         self.num_dense_dims = dense_cursor

@@ -88,6 +88,10 @@ class RecModel(nn.Module):
             layout=self.layout,
             init_std=self.init_std,
             grad_mode=str(self.mc.extra.get("embedding_grad", "auto")),
+            # stack width of a vmapped suite (train/multi_seed.py sets it):
+            # scales the matmul-grad one-hot budget to the REAL transient
+            # memory, S one-hots materializing at once under vmap
+            grad_budget_divisor=int(self.mc.extra.get("_grad_budget_div", 1)),
             name="embeddings",
         )
 
@@ -132,12 +136,24 @@ class RecModel(nn.Module):
         unconditionally."""
         if not self.mc.extra.get("use_wide_linear"):
             return 0.0
+        # dedupe by embedding_name (reference Linear keys its 1-dim tables by
+        # embedding_name, so features sharing a table share wide weights) and
+        # take each slot's ids column from the layout rather than position
+        names: list = []
+        slot_tables = []
+        for s in self.layout.sparse_slots:
+            n = s.feature.embedding_name
+            if n not in names:
+                names.append(n)
+            slot_tables.append(names.index(n))
         return WideLinear(
             vocab_sizes=tuple(
-                s.feature.vocabulary_size for s in self.layout.sparse_slots
+                self.layout.embedding_specs[n][0] for n in names
             ),
             n_dense=self.layout.num_dense_dims,
             init_std=self.init_std,
+            slot_tables=tuple(slot_tables),
+            slot_cols=tuple(s.start for s in self.layout.sparse_slots),
             name="wide_linear",
         )(ids, dense)
 

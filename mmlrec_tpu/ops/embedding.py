@@ -166,8 +166,20 @@ class FusedEmbedding(nn.Module):
     # the unpacked path (see take_rows_matmul_grad).  auto = matmul whenever
     # the one-hot fits MATMUL_GRAD_BUDGET_BYTES at the traced batch size.
     grad_mode: str = "auto"
+    # Under jax.vmap the traced ids are UNBATCHED, but the backward one-hot
+    # materializes once per stacked element — the vmapped seed/lr suites
+    # (train/multi_seed.py, train/sweep.py) thread their stack width here so
+    # the 'auto' budget reflects the REAL transient bytes S * B * F * vmax * 4
+    # (otherwise the >105 MB memory cliff the cap guards against silently
+    # reappears at large S; round-2 advisor finding).
+    grad_budget_divisor: int = 1
 
     def setup(self):
+        if self.grad_mode not in ("auto", "matmul", "scatter"):
+            raise ValueError(
+                f"embedding_grad must be 'auto', 'matmul' or 'scatter'; "
+                f"got {self.grad_mode!r}"
+            )
         offsets = np.concatenate([[0], np.cumsum(self.vocab_sizes)[:-1]]).astype(np.int32)
         self._offsets = jnp.asarray(offsets)
         total = int(sum(self.vocab_sizes))
@@ -198,16 +210,11 @@ class FusedEmbedding(nn.Module):
         flat_ids = ids + self._offsets[None, :]
         P = self.pack_factor
         if P == 1:
-            if self.grad_mode not in ("auto", "matmul", "scatter"):
-                raise ValueError(
-                    f"embedding_grad must be 'auto', 'matmul' or 'scatter'; "
-                    f"got {self.grad_mode!r}"
-                )
             vmax = int(max(self.vocab_sizes))
             onehot_bytes = int(np.prod(ids.shape)) * vmax * 4
+            budget = MATMUL_GRAD_BUDGET_BYTES // max(self.grad_budget_divisor, 1)
             if self.grad_mode == "matmul" or (
-                self.grad_mode == "auto"
-                and onehot_bytes <= MATMUL_GRAD_BUDGET_BYTES
+                self.grad_mode == "auto" and onehot_bytes <= budget
             ):
                 return take_rows_matmul_grad(
                     self.table, ids, tuple(self.vocab_sizes), vmax
@@ -232,7 +239,12 @@ class EmbeddingCollection(nn.Module):
     layout: FeatureLayout
     init_std: float = 1e-4
     pad_to: int = 128
-    grad_mode: str = "auto"  # threaded to FusedEmbedding (embedding_grad)
+    # threaded to FusedEmbedding (embedding_grad).  Validated there even for
+    # lane-packed tables, where it has NO effect: the packed super-row
+    # gather's cotangent is always the scatter form (the one-hot sub-row
+    # select already rides the MXU).
+    grad_mode: str = "auto"
+    grad_budget_divisor: int = 1  # vmap stack width (see FusedEmbedding)
 
     def setup(self):
         sparse_names = [s.feature.embedding_name for s in self.layout.sparse_slots]
@@ -248,6 +260,7 @@ class EmbeddingCollection(nn.Module):
                 init_std=self.init_std,
                 pad_to=self.pad_to,
                 grad_mode=self.grad_mode,
+                grad_budget_divisor=self.grad_budget_divisor,
             )
             # varlen features (and only those) get dedicated tables.
             table_names = varlen_names

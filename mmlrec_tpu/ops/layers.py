@@ -251,28 +251,44 @@ class WideLinear(nn.Module):
 
     One fused [total_vocab, 1] table instead of the reference's per-feature
     ``nn.Embedding(vocab, 1)`` dict — same init (normal, std init_std),
-    same math (sum over features of the gathered scalars).
+    same math (sum over features of the gathered scalars).  The reference
+    keys its linear embedding dict by ``embedding_name`` (model/utils.py:
+    466-488 with linear=True), so features SHARING a name share one wide
+    table there; ``slot_tables[i]`` maps sparse slot i to its (deduped)
+    table index to reproduce that sharing.  ``slot_cols[i]`` is slot i's
+    column in the packed ids array.
     """
 
-    vocab_sizes: Tuple[int, ...]
+    vocab_sizes: Tuple[int, ...]  # one entry per UNIQUE embedding_name
     n_dense: int
     init_std: float = 1e-4
+    slot_tables: Optional[Tuple[int, ...]] = None  # default: identity
+    slot_cols: Optional[Tuple[int, ...]] = None  # default: leading columns
 
     @nn.compact
     def __call__(self, ids: jnp.ndarray, dense: Optional[jnp.ndarray]) -> jnp.ndarray:
         B = ids.shape[0] if ids is not None else dense.shape[0]
         logit = jnp.zeros((B, 1), jnp.float32)
         if self.vocab_sizes:
-            offsets = jnp.asarray(
-                np.concatenate([[0], np.cumsum(self.vocab_sizes)[:-1]]),
-                jnp.int32,
+            slot_tables = np.asarray(
+                self.slot_tables
+                if self.slot_tables is not None
+                else np.arange(len(self.vocab_sizes))
             )
+            slot_cols = np.asarray(
+                self.slot_cols
+                if self.slot_cols is not None
+                else np.arange(len(slot_tables))
+            )
+            offsets = np.concatenate([[0], np.cumsum(self.vocab_sizes)[:-1]])
             table = self.param(
                 "table",
                 normal_init(self.init_std),
                 (int(sum(self.vocab_sizes)), 1),
             )
-            flat = ids[:, : len(self.vocab_sizes)] + offsets[None, :]
+            flat = ids[:, slot_cols] + jnp.asarray(
+                offsets[slot_tables], jnp.int32
+            )[None, :]
             # [B, F] gathered scalars summed over features
             logit = logit + jnp.sum(jnp.take(table[:, 0], flat, axis=0),
                                     axis=1, keepdims=True)

@@ -63,6 +63,13 @@ class SeedSuiteTrainer:
         self.sequential = (
             self.tr.two_phase_embedding or self.tr.sparse_embedding_update
         )
+        if not self.sequential:
+            # The vmapped step materializes the matmul-grad one-hot once per
+            # stacked seed, so FusedEmbedding's 'auto' budget must account
+            # for the stack width (ops/embedding.py grad_budget_divisor).
+            # Left set afterwards: a later solo run of the same model
+            # degrades only toward the (always-correct) scatter cotangent.
+            model.cfg.model_config.extra["_grad_budget_div"] = len(self.seeds)
         self.histories: List[List[Dict[str, float]]] = [[] for _ in seeds]
         self.best_variables = None  # stacked [S, ...] (vmapped mode)
         self._seq_best: List = []  # per-seed best variables (sequential mode)

@@ -1285,6 +1285,14 @@ class Trainer:
                         if fs_future is None:
                             prep = _fs_host_prep(order, steps_this_epoch)
                         else:
+                            # the ahead-submitted prep was shaped with
+                            # steps_per_epoch; the enable guard excludes
+                            # max_steps so every epoch is full-length — keep
+                            # that coupling explicit rather than implicit
+                            assert steps_this_epoch == steps_per_epoch, (
+                                "prefetched epoch prep is full-length; "
+                                "short epochs must not enable fs_pool"
+                            )
                             prep = fs_future.result()
                             fs_future = None
                         if epoch + 1 < epochs:
