@@ -148,7 +148,7 @@ def main():
                 )
                 with open(file_name, "wb") as f:
                     pickle.dump(value, f)
-        elif args.device_eval and mesh is None:
+        elif args.device_eval:
             pred_ans = None  # fused on-device final metrics, no download
         else:
             pred_ans = trainer.predict(ds.test_input, tc.test_batch_size)

@@ -46,7 +46,10 @@ from .shard_embedding import (
 
 
 def make_explicit_two_phase_step(trainer):
-    """-> step(state, batch) with the Trainer's standard signatures."""
+    """-> UNJITTED step(state, batch) with the Trainer's standard
+    signatures.  Trainer._step_body dispatches here, so the same body rides
+    the streaming per-batch jit AND the device-staged scan runners
+    (shard_map composes under jit/lax.scan)."""
     mesh = trainer.mesh
     if mesh is None or "data" not in mesh.shape or "model" not in mesh.shape:
         raise ValueError("explicit_collective_embedding needs a (data, model) mesh")
@@ -199,4 +202,4 @@ def make_explicit_two_phase_step(trainer):
             new_state["epoch_step"] = state["epoch_step"]
         return new_state, total_loss, data_loss, probs
 
-    return jax.jit(step)
+    return step

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -65,6 +66,51 @@ def shard_variables(variables, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda v, s: jax.device_put(v, s), variables, shardings
     )
+
+
+def distributed_take(staged, idx, mesh: Mesh):
+    """Global-batch row fetch from a row-sharded device-staged dataset.
+
+    ``staged``: [N, D] f32, rows sharded ``P('data', None)`` (N divisible by
+    the data axis).  ``idx``: [B] int32 global row indices, replicated, with
+    B divisible by the data axis.  Returns the batch [B, D] sharded
+    ``P('data', None)``.
+
+    This is the textbook distributed gather, hand-placed so the collective
+    is a single reduce-scatter over ICI instead of whatever GSPMD picks for
+    a gather on a sharded operand (typically an all-gather of the operand —
+    N*D bytes on the wire — or a [B, D] psum, n_data x the reduce-scatter's
+    bytes): each data shard gathers the batch rows it OWNS (masked local
+    take) and ``psum_scatter`` both sums the one-hot contributions and
+    routes batch slice t to shard t in one pass.  Bytes on the wire per
+    device: B*D*4 * (n-1)/n.  Equal to ``jnp.take(staged, idx)`` exactly
+    (each batch row is owned by exactly one shard; f32 values pass through
+    one masked select and one sum with zeros).
+
+    The reference has no counterpart: its DataLoader re-uploads every batch
+    from host pinned memory (model/basemodel.py:261-264).
+    """
+    n_data = mesh.shape["data"]
+
+    def fetch(local, idx_):
+        rows_local = local.shape[0]
+        lo = jax.lax.axis_index("data") * rows_local
+        rel = idx_ - lo
+        owned = (rel >= 0) & (rel < rows_local)
+        rows = jnp.take(local, jnp.clip(rel, 0, rows_local - 1), axis=0)
+        contrib = jnp.where(owned[:, None], rows, jnp.zeros((), rows.dtype))
+        return jax.lax.psum_scatter(
+            contrib, "data", scatter_dimension=0, tiled=True
+        )
+
+    del n_data  # (documented constraint; shard_map enforces divisibility)
+    return jax.shard_map(
+        fetch,
+        mesh=mesh,
+        in_specs=(P("data", None), P()),
+        out_specs=P("data", None),
+        check_vma=False,
+    )(staged, idx)
 
 
 def shard_batch(batch, mesh: Mesh):

@@ -7,10 +7,12 @@ builds the same global Mesh over ``jax.devices()`` (all hosts' devices), and
 feeds its *local* shard of each global batch through
 ``host_local_batch_to_global``; XLA runs the gradient psums over ICI/DCN.
 
-This module is exercised in CI only to the extent single-process JAX allows
-(global == local); the multi-process path follows jax.distributed's
-documented semantics and the driver's multi-chip dryrun validates that the
-sharded train step compiles and runs on an N-device mesh.
+Exercised with REAL process boundaries by tests/test_multihost.py: two CPU
+processes join via jax.distributed (Gloo collectives), assemble one global
+batch from per-process shards through ``host_local_batch_to_global``, run a
+sharded train step, and are pinned equal to the single-process run.  The
+driver's multi-chip dryrun additionally validates the N-device mesh
+shardings compile and execute.
 """
 
 from __future__ import annotations

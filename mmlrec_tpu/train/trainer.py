@@ -189,8 +189,17 @@ class Trainer:
                 )
             # static physical row count (mirrors FusedEmbedding.setup)
             self._emb_phys_rows = self._emb_phys_rows_static()
-            # interpret mode runs the Pallas kernel on CPU (tests)
-            self._pallas_interpret = jax.devices()[0].platform == "cpu"
+            # interpret mode runs the Pallas kernel on CPU (tests).  Key the
+            # decision on the devices that will actually EXECUTE: the mesh's
+            # when one is given (a CPU virtual mesh must interpret even if a
+            # TPU backend was initialized first, e.g. dryrun_multichip after
+            # entry()), the default device otherwise.
+            exec_platform = (
+                self.mesh.devices.flat[0].platform
+                if self.mesh is not None
+                else jax.devices()[0].platform
+            )
+            self._pallas_interpret = exec_platform == "cpu"
             mdt = str(mc.extra.get("table_opt_dtype") or "float32")
             # Mosaic rejects single-row DMA slices of sub-32-bit HBM arrays
             # (bf16 tiling (8,128)(2,1) packs rows; a 1-row slice is
@@ -579,10 +588,30 @@ class Trainer:
             new_state["epoch_step"] = state["epoch_step"]
         return new_state, total_loss, data_loss, probs
 
+    def _use_explicit_collectives(self) -> bool:
+        return (
+            self.mesh is not None
+            and self.two_phase_embedding
+            and bool(
+                self.cfg.model_config.extra.get("explicit_collective_embedding")
+            )
+        )
+
     def _step_body(self, state, batch):
         """One training step: forward + loss + backward + optimizer update.
         Pure function of (state, batch); reused by the per-step jit and the
         scanned whole-epoch jit."""
+        if self._use_explicit_collectives():
+            # hand-placed collectives instead of GSPMD partitioning
+            # (parallel/explicit_step.py); shard_map composes under
+            # jit / lax.scan so the staged scan runners drive it too
+            from ..parallel.explicit_step import make_explicit_two_phase_step
+
+            fn = self._cached(
+                "explicit_step_body",
+                lambda: make_explicit_two_phase_step(self),
+            )
+            return fn(state, batch)
         if self.two_phase_embedding:
             return self._step_body_two_phase(state, batch)
         tx = self.tx
@@ -712,20 +741,12 @@ class Trainer:
         return fn
 
     def _make_train_step(self):
-        if (
-            self.mesh is not None
-            and self.two_phase_embedding
-            and self.cfg.model_config.extra.get("explicit_collective_embedding")
-        ):
-            # hand-placed collectives instead of GSPMD partitioning
-            # (parallel/explicit_step.py)
-            from ..parallel.explicit_step import make_explicit_two_phase_step
-
-            return self._cached(
-                "train_step", lambda: make_explicit_two_phase_step(self)
-            )
+        # the explicit-collective dispatch lives inside _step_body; donation
+        # is skipped there (the streaming explicit path's per-batch inputs
+        # carry shardings the donated aliases must not constrain)
+        donate = () if self._use_explicit_collectives() else self._donate
         return self._cached(
-            "train_step", lambda: jax.jit(self._step_body, donate_argnums=self._donate)
+            "train_step", lambda: jax.jit(self._step_body, donate_argnums=donate)
         )
 
     # -- device-resident stepping --------------------------------------
@@ -756,7 +777,45 @@ class Trainer:
             y.shape[1],
             dmask.shape[1] if dmask is not None else 0,
         )
+        if self.mesh is not None:
+            # mesh fast path: the dataset lives SHARDED over the 'data' axis
+            # (each device holds N/n_data rows); batches are fetched with
+            # parallel/mesh.py::distributed_take.  Pad rows to divide evenly
+            # (pad rows are never indexed — every idx < n).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = self.mesh.shape["data"]
+            pad = (-len(combined)) % n_data
+            if pad:
+                combined = np.concatenate(
+                    [combined, np.zeros((pad, combined.shape[1]), np.float32)]
+                )
+            return jax.device_put(
+                combined, NamedSharding(self.mesh, P("data", None))
+            )
         return jnp.asarray(combined)
+
+    def _to_mesh(self, a, spec=None):
+        """Place a host array on the mesh (replicated by default); plain
+        upload when no mesh."""
+        if a is None:
+            return None
+        if self.mesh is None:
+            return jnp.asarray(a)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            np.asarray(a), NamedSharding(self.mesh, spec if spec is not None else P())
+        )
+
+    def _fetch_staged_rows(self, staged, idx):
+        """Batch fetch from the staged dataset: plain take single-device;
+        explicit distributed gather (reduce-scatter routed) under a mesh."""
+        if self.mesh is not None:
+            from ..parallel.mesh import distributed_take
+
+            return distributed_take(staged, idx, self.mesh)
+        return jnp.take(staged, idx, axis=0)
 
     def _split_staged(self, rows, weight):
         S, Dd, T, Dm = self._stage_dims
@@ -851,7 +910,7 @@ class Trainer:
         s = state["epoch_step"] % steps
         idx = jax.lax.dynamic_slice(idx2d, (s, 0), (1, bs))[0]
         w = jax.lax.dynamic_slice(w2d, (s, 0), (1, bs))[0]
-        rows = jnp.take(staged, idx, axis=0)
+        rows = self._fetch_staged_rows(staged, idx)
         batch = self._split_staged(rows, w) + self._slice_dedup(dedup2d, s)
         new_state, tl, dl, probs = self._step_body(state, batch)
         new_state["epoch_step"] = state["epoch_step"] + 1
@@ -863,9 +922,16 @@ class Trainer:
         s = state["epoch_step"] % steps
         start = jax.lax.dynamic_slice(starts, (s,), (1,))[0]
         w = jax.lax.dynamic_slice(w2d, (s, 0), (1, batch_size))[0]
-        rows = jax.lax.dynamic_slice(
-            staged, (start, 0), (batch_size, staged.shape[1])
-        )
+        if self.mesh is not None:
+            # contiguous batch as a distributed fetch (dynamic_slice across
+            # a row-sharded operand would make GSPMD all-gather the operand)
+            rows = self._fetch_staged_rows(
+                staged, start + jnp.arange(batch_size, dtype=jnp.int32)
+            )
+        else:
+            rows = jax.lax.dynamic_slice(
+                staged, (start, 0), (batch_size, staged.shape[1])
+            )
         batch = self._split_staged(rows, w) + self._slice_dedup(dedup2d, s)
         new_state, tl, dl, probs = self._step_body(state, batch)
         new_state["epoch_step"] = state["epoch_step"] + 1
@@ -1126,13 +1192,24 @@ class Trainer:
 
         # Fast path: device-resident dataset + chained per-step dispatches
         # (see the comment above _stage_dataset for the measurements that
-        # drive this design).  Used whenever the dataset fits device memory
-        # and no mesh-specific per-batch sharding is needed.
+        # drive this design).  Under a mesh the dataset is STAGED SHARDED
+        # over the 'data' axis and batches are fetched with an explicit
+        # reduce-scatter-routed distributed gather (parallel/mesh.py::
+        # distributed_take), so mesh fits get the same scan_steps dispatch
+        # amortization as single-chip ones instead of per-batch relay
+        # uploads; requires batch_size divisible by the data axis (else the
+        # streaming path's per-batch shard_batch semantics apply).
         dataset_bytes = ids.nbytes + dense.nbytes + y.nbytes
-        use_device_data = (
-            self.mesh is None
-            and dataset_bytes * 2 < self._device_data_bytes_cap
-        )
+        if self.mesh is None:
+            use_device_data = dataset_bytes * 2 < self._device_data_bytes_cap
+        else:
+            n_data_axis = self.mesh.shape.get("data", 1)
+            use_device_data = (
+                batch_size % n_data_axis == 0
+                # per-DEVICE staging bytes: rows are sharded n_data ways
+                and dataset_bytes * 2
+                < self._device_data_bytes_cap * n_data_axis
+            )
         block_mode = shuffle == "block"
         if use_device_data:
             state["epoch_step"] = jnp.zeros((), jnp.int32)
@@ -1238,14 +1315,14 @@ class Trainer:
                         if shuffle
                         else np.arange(steps_this_epoch)
                     )
-                    starts_dev = jnp.asarray(
+                    starts_dev = self._to_mesh(
                         (batch_order * batch_size).astype(np.int32)
                     )
-                    w2d_dev = jnp.asarray(block_w[batch_order])
+                    w2d_dev = self._to_mesh(block_w[batch_order])
                     dedup_dev = None
                     if block_dedup is not None:
                         dedup_dev = tuple(
-                            jnp.asarray(a[batch_order]) for a in block_dedup
+                            self._to_mesh(a[batch_order]) for a in block_dedup
                         )
                     if self._scan_steps:
                         pos = 0
@@ -1305,14 +1382,14 @@ class Trainer:
                         idx_full, w_full, take, meta_np = _fs_host_prep(
                             order, steps_this_epoch
                         )
-                    idx2d_dev = jnp.asarray(
+                    idx2d_dev = self._to_mesh(
                         idx_full.reshape(steps_this_epoch, batch_size).astype(np.int32)
                     )
-                    w2d_dev = jnp.asarray(
+                    w2d_dev = self._to_mesh(
                         w_full.reshape(steps_this_epoch, batch_size)
                     )
                     dedup_dev = (
-                        tuple(jnp.asarray(a) for a in meta_np)
+                        tuple(self._to_mesh(a) for a in meta_np)
                         if meta_np is not None
                         else None
                     )
@@ -1438,7 +1515,8 @@ class Trainer:
             }
             if val is not None:
                 # stage the (fixed) validation tensors on device once
-                if val_dev is None and self.mesh is None:
+                # (sharded over 'data' per batch when a mesh is set)
+                if val_dev is None:
                     val_dev = self._prepare_eval_tensors(
                         val[0], val[1], val[3], batch_size
                     )
@@ -1528,23 +1606,14 @@ class Trainer:
         n = len(ids)
         steps = (n - 1) // batch_size + 1
 
-        if not collect_intermediates and self.mesh is None:
+        if not collect_intermediates:
             # scanned fast path: pad to steps*batch and run one dispatch
+            # (batches sharded over 'data' when a mesh is set)
             padded = steps * batch_size
-            pad = padded - n
-
-            def pad_rows(a):
-                if a is None:
-                    return None
-                if pad:
-                    a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
-                return jnp.asarray(
-                    a.reshape(steps, batch_size, *a.shape[1:])
-                )
-
-            probs = self._make_predict_fn()(
-                variables, pad_rows(ids), pad_rows(dense), pad_rows(dmask)
+            ids3, dense3, dmask3, _ = self._prepare_eval_tensors(
+                ids, dense, dmask, batch_size
             )
+            probs = self._make_predict_fn()(variables, ids3, dense3, dmask3)
             out = np.asarray(probs).reshape(padded, -1)[:n].astype(np.float64)
             return out
 
@@ -1590,19 +1659,38 @@ class Trainer:
             return out, {k: np.concatenate(v).astype(np.float64) for k, v in inters.items()}
         return out
 
+    def _eval_batch_spec(self, batch_size: int):
+        """PartitionSpec for a [steps, bs, ...] eval tensor under a mesh:
+        per-batch rows sharded over 'data' (replicated if indivisible)."""
+        from jax.sharding import PartitionSpec as P
+
+        if (
+            self.mesh is not None
+            and batch_size % self.mesh.shape.get("data", 1) == 0
+        ):
+            return P(None, "data")
+        return P()
+
     def _prepare_eval_tensors(self, ids, dense, dmask, batch_size: int):
         """Pad + reshape fixed eval arrays to [steps, bs, ...] device
-        tensors once (repeated per-epoch uploads are wasted transfers)."""
+        tensors once (repeated per-epoch uploads are wasted transfers).
+        Under a mesh each batch's rows are sharded over 'data', so the
+        scanned inference runs data-parallel and (with device_eval) only
+        metric scalars ever cross the relay."""
         n = len(ids)
         steps = (n - 1) // batch_size + 1
         pad = steps * batch_size - n
+        spec = self._eval_batch_spec(batch_size)
 
         def prep(a):
             if a is None:
                 return None
             if pad:
                 a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
-            return jnp.asarray(a.reshape(steps, batch_size, *a.shape[1:]))
+            a = a.reshape(steps, batch_size, *a.shape[1:])
+            if self.mesh is not None:
+                return self._to_mesh(a, spec)
+            return jnp.asarray(a)
 
         return (prep(ids), prep(dense), prep(dmask), n)
 
@@ -1612,11 +1700,7 @@ class Trainer:
         other metric (e.g. logloss) falls the whole epoch back to host."""
         from . import device_metrics
 
-        return (
-            self.device_eval
-            and self.mesh is None
-            and device_metrics.supports(self.metric_fns.keys())
-        )
+        return self.device_eval and device_metrics.supports(self.metric_fns.keys())
 
     def _prepare_metric_tensors(self, y, val_dev):
         """Stage padded labels + validity weights on device once for the
@@ -1628,7 +1712,7 @@ class Trainer:
         if pad:
             y2 = np.concatenate([y2, np.repeat(y2[-1:], pad, axis=0)])
         w = (np.arange(total) < n).astype(np.float32)
-        return jnp.asarray(y2), jnp.asarray(w)
+        return self._to_mesh(y2), self._to_mesh(w)
 
     def _make_eval_program(self):
         return self._cached("eval_program", self._build_eval_program)
@@ -1747,7 +1831,7 @@ class Trainer:
         pad = total - len(tm)
         if pad:
             tm = np.concatenate([tm, np.zeros((pad,) + tm.shape[1:], np.float32)])
-        return jnp.asarray(tm)
+        return self._to_mesh(tm)
 
     @staticmethod
     def _order_masked_row(vals: Dict[str, float]) -> Dict[str, float]:

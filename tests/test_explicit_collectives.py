@@ -264,3 +264,26 @@ def test_chunked_grad_exchange_pallas():
     tr = Trainer(model, seed=0, mesh=create_mesh(data=2, model=4)).compile()
     tr.fit(x, y, batch_size=32, epochs=1, verbose=0, shuffle=False)
     assert np.isfinite(tr.history[-1]["loss"])
+
+
+def test_explicit_staged_fit_matches_streaming():
+    """The explicit-collective step driven by the device-staged scan runner
+    (shard_map inside jit/lax.scan) is bitwise the streaming per-batch
+    explicit path."""
+    tr_stream, x, y = _setup_two_phase(create_mesh(data=4, model=2),
+                                       explicit=True)
+    tr_stream._device_data_bytes_cap = 0  # force streaming
+    tr_stream.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False)
+    tr_staged, x2, y2 = _setup_two_phase(create_mesh(data=4, model=2),
+                                         explicit=True)
+    tr_staged.fit(x2, y2, batch_size=64, epochs=2, verbose=0, shuffle=False)
+    assert any(
+        k.startswith("scan_") or k == "gather_step"
+        for k in tr_staged._step_fns
+    ), list(tr_staged._step_fns)
+    np.testing.assert_array_equal(
+        tr_stream.predict(x, batch_size=64),
+        tr_staged.predict(x2, batch_size=64),
+    )
+    tbl = tr_staged._train_state["params"]["embeddings"]["fused"]["table"]
+    assert tbl.sharding.spec and tbl.sharding.spec[0] == "model"
