@@ -12,6 +12,13 @@ one compiled step advances every (seed, lr) combination concurrently.
 Numerics per combo are exactly those of a solo ``Trainer`` run with that
 seed and lr (pinned by tests/test_sweep.py): ``inject_hyperparams`` only
 moves the lr from a compile-time constant to an optimizer-state leaf.
+
+Two-phase/sparse-table configs (where a stacked [S, V, D] table can never
+pay — see train/multi_seed.py) instead run SEQUENTIAL-SHARED, grouped by
+lr: one shared Trainer, one compile per distinct lr (the sparse table
+update bakes lr into its jitted step), every seed in the group reusing
+that compile via ``reset_for_seed`` — so an (S seeds x L lrs) grid costs
+L compiles instead of S*L full recompiles.
 Any other update-time numeric optimizer hyperparameter (adam ``b1``/
 ``b2``/``eps``, rmsprop ``decay``, ...) can vary along the grid the same
 way via explicit ``grid`` rows; init-time ones (accumulator seeds) are
@@ -97,12 +104,12 @@ class GridSweepTrainer(SeedSuiteTrainer):
             raise ValueError(f"grid rows missing hyperparams: {missing[:3]}")
         self._hp_keys = hp_keys
         super().__init__(model, seeds=[g["seed"] for g in self.grid])
-        if self.sequential:
+        if self.sequential and hp_keys != ["lr"]:
             raise NotImplementedError(
-                "GridSweepTrainer needs the vmapped (stacked-state) path; "
-                "two-phase/sparse table updates run seed suites in "
-                "sequential-shared mode instead (train/multi_seed.py) — "
-                "sweep lrs there as separate runs"
+                "the two-phase/sparse table update bakes only the LEARNING "
+                "RATE into its jitted step, so sequential-shared grids vary "
+                f"lr only (got {hp_keys}); sweep other hyperparams as "
+                "separate suites"
             )
         tag = lambda g: "/".join(f"{k}{g[k]:g}" for k in hp_keys)  # noqa: E731
         self.labels = [f"s{g['seed']}/{tag(g)}" for g in self.grid]
@@ -118,9 +125,64 @@ class GridSweepTrainer(SeedSuiteTrainer):
         if not isinstance(name, str):
             raise ValueError("GridSweepTrainer needs an optimizer NAME to "
                              "build the lr-injectable transform")
+        if self.sequential:
+            # sequential-shared mode rebuilds a PLAIN optimizer per lr group
+            # (_fit_sequential below); stash the compile args for that
+            self._compile_args = (name, loss, metrics)
+            self.tr.compile(optimizer=name, loss=loss, metrics=metrics)
+            return self
         tx = injectable_optimizer(name, oc.lr)
         for t in self.trainers:
             t.compile(optimizer=tx, loss=loss, metrics=metrics)
+        return self
+
+    # ------------------------------------------------------------------
+    def _fit_sequential(self, x, y, batch_size, epochs, validation_data,
+                        verbose):
+        """Two-phase/pallas grids: combos run one after another on the ONE
+        shared Trainer, GROUPED BY LR so the jitted step/eval programs
+        compile once per distinct lr (the table update bakes lr into its
+        program; every seed in the group reuses the group's compile via
+        reset_for_seed).  Numerics per combo are exactly a solo
+        Trainer(seed) run at that lr (pinned by tests/test_sweep.py)."""
+        tr = self.tr
+        name, loss, metrics = getattr(
+            self, "_compile_args", (None, None, None)
+        )
+        oc = tr.cfg.optim_config
+        orig_lr = oc.lr
+        self._seq_best = [None] * len(self.grid)
+        order = sorted(range(len(self.grid)),
+                       key=lambda i: (self.grid[i]["lr"], i))
+        last_lr = None
+        try:
+            for gi in order:
+                g = self.grid[gi]
+                if g["lr"] != last_lr:
+                    oc.lr = float(g["lr"])
+                    # rebuilds tx at the group's lr and clears the jit
+                    # caches — one compile per DISTINCT lr, not per combo
+                    tr.compile(optimizer=name, loss=loss, metrics=metrics)
+                    last_lr = g["lr"]
+                tr.reset_for_seed(g["seed"])
+                tr.fit(
+                    x, y, batch_size=batch_size, epochs=epochs,
+                    validation_data=validation_data,
+                    verbose=max(verbose - 1, 0),
+                )
+                self.histories[gi] = list(tr.history)
+                self._seq_best[gi] = tr.best_variables
+                if verbose:
+                    last = tr.history[-1] if tr.history else {}
+                    print(
+                        f"{self.labels[gi]}: {len(tr.history)} epochs, "
+                        f"loss {last.get('loss', float('nan')):.4f}"
+                        + (f", val_auc {last['val_auc']:.4f}"
+                           if "val_auc" in last else "")
+                    )
+        finally:
+            oc.lr = orig_lr
+        self.variables = tr.variables
         return self
 
     def _init_opt_state(self, params):

@@ -124,3 +124,55 @@ def test_unknown_hyperparam_raises():
     ).compile()
     with pytest.raises(KeyError):
         sweep.fit(x, y, batch_size=64, epochs=1, verbose=0)
+
+
+def test_sequential_grid_two_phase_matches_solo():
+    """Two-phase (sparse-table) grids run sequential-shared grouped by lr;
+    every combo must equal a solo Trainer run at that (seed, lr)."""
+    cfg = make_config(
+        task_name="mtl", model_name="mmoe", emb=4, n_sparse=4, n_dense=2,
+        hidden=(16, 8), tower=(8,), gate=(8,), batch_size=64,
+        two_phase_embedding=True,
+    )
+    layout, x, y, _ = make_data(cfg, n=320, seed=0)
+    _, xv, yv, _ = make_data(cfg, n=128, seed=9)
+    model = get_model("mmoe", layout, cfg)
+    sweep = GridSweepTrainer(model, seeds=[0, 2], lrs=[1e-3, 1e-2]).compile(
+        metrics=["auc"]
+    )
+    assert sweep.sequential
+    sweep.fit(x, y, batch_size=64, epochs=2, validation_data=(xv, yv), verbose=0)
+    preds = sweep.predict(xv, batch_size=64)
+    rows = sweep.results()
+    assert len(rows) == 4
+
+    for i, g in enumerate(sweep.grid):
+        solo_cfg = make_config(
+            task_name="mtl", model_name="mmoe", emb=4, n_sparse=4, n_dense=2,
+            hidden=(16, 8), tower=(8,), gate=(8,), batch_size=64,
+            two_phase_embedding=True, lr=g["lr"],
+        )
+        solo_model = get_model("mmoe", layout, solo_cfg)
+        solo = Trainer(solo_model, seed=g["seed"]).compile(metrics=["auc"])
+        solo.fit(x, y, batch_size=64, epochs=2, validation_data=(xv, yv),
+                 verbose=0)
+        np.testing.assert_allclose(
+            preds[i], solo.predict(xv, batch_size=64), atol=1e-6,
+            err_msg=f"combo {g} diverges from solo two-phase run",
+        )
+        for h_sweep, h_solo in zip(sweep.histories[i], solo.history):
+            assert h_sweep["loss"] == pytest.approx(h_solo["loss"], rel=1e-5)
+
+
+def test_sequential_grid_rejects_non_lr_hyperparams():
+    cfg = make_config(
+        task_name="mtl", model_name="mmoe", emb=4, n_sparse=4, n_dense=2,
+        hidden=(16, 8), tower=(8,), gate=(8,), batch_size=64,
+        two_phase_embedding=True,
+    )
+    layout, x, y, _ = make_data(cfg, n=128, seed=0)
+    model = get_model("mmoe", layout, cfg)
+    with pytest.raises(NotImplementedError):
+        GridSweepTrainer(
+            model, grid=[{"seed": 0, "lr": 1e-3, "b1": 0.9}]
+        )
