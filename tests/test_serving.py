@@ -101,3 +101,28 @@ def test_bundle_requires_params(tmp_path):
     tr = Trainer(get_model("mmoe", layout, cfg), seed=0).compile()
     with pytest.raises(ValueError):
         save_serving_bundle(tr, str(tmp_path))
+
+
+def test_bundle_two_phase_packed_table(tmp_path):
+    """Production-path export: a two-phase-trained model whose fused table
+    is LANE-PACKED ([rows/P, 128], >= 2^18 rows triggers packing) must
+    export and serve identically — the packed sub-row select is part of the
+    exported program."""
+    vocab = 1 << 16  # 4 features x 65536 = 2^18 fused rows -> packed
+    cfg = make_config(
+        task_name="mtl", model_name="mmoe", emb=4, n_sparse=4, n_dense=2,
+        vocab=vocab, hidden=(16, 8), tower=(8,), gate=(8,), batch_size=64,
+        two_phase_embedding=True,
+    )
+    layout, x, y, _ = make_data(cfg, n=256, vocab=vocab, seed=0)
+    model = get_model("mmoe", layout, cfg)
+    tr = Trainer(model, seed=0).compile(metrics=["auc"])
+    tr.fit(x, y, batch_size=64, epochs=1, verbose=0)
+    table = tr.variables["params"]["embeddings"]["fused"]["table"]
+    assert table.shape[1] == 128, table.shape  # really lane-packed
+
+    save_serving_bundle(tr, str(tmp_path), platforms=["cpu"])
+    bundle = ServingBundle.load(str(tmp_path))
+    np.testing.assert_allclose(
+        bundle.predict(x), tr.predict(x, batch_size=64), atol=1e-6
+    )
