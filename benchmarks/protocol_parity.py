@@ -75,7 +75,14 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "results",
                                                   "protocol_parity.jsonl"))
     ap.add_argument("--skip_ref", action="store_true")
+    ap.add_argument("--intended", action="store_true",
+                    help="ours-only column with the FIXED modes on "
+                         "(snr_stochastic_gates; masked_loss is a no-op in "
+                         "this mtl harness — see protocol_parity_msl.py for "
+                         "the regime where it bites)")
     args = ap.parse_args()
+    if args.intended:
+        args.skip_ref = True
 
     import torch
     torch.set_num_threads(int(os.environ.get("OMP_NUM_THREADS", "2")))
@@ -92,6 +99,9 @@ def main() -> None:
         config = make_config(train_p, test_p, model_name)
         config["training_config"]["epochs"] = args.epochs
         config["optim_config"]["early_stop"] = args.early_stop
+        if args.intended:
+            config["model_config"]["snr_stochastic_gates"] = True
+            config["model_config"]["masked_loss"] = True
         for seed in seeds:
             key = f"{model_name}_seed{seed}"
             if key in done:

@@ -16,6 +16,14 @@ both read the old value and the second write wins.  The two-phase path
 already computes host-side dedup metadata, so callers satisfy this for
 free.  Rows are whole physical rows (packed [*, 128] layout): the caller
 widens logical sub-row deltas with the existing one-hot einsum.
+
+INTERPRET MODES: ``interpret=True`` runs a fast pure-JAX reference
+implementation of the same contract (scatter set/add with drop-out-of-
+window) — the CPU test suite's path; pallas's own interpreter executes
+the per-row DMA loops in Python and costs MINUTES per trainer-level test
+at realistic step counts.  ``interpret="pallas"`` forces the genuine
+pallas interpreter (kernel-logic coverage, tests/test_pallas_kernels.py).
+``interpret=False`` is the real Mosaic kernel.
 """
 
 from __future__ import annotations
@@ -26,6 +34,43 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _reference_rows_write(arrays, ids, values, bounds):
+    """Pure-JAX reference for pallas_rows_write's contract (interpret=True
+    fast path): slots outside [lo, hi) are dropped; ids unique."""
+    K = ids.shape[0]
+    k = jnp.arange(K, dtype=jnp.int32)
+    in_win = (k >= bounds[0]) & (k < bounds[1])
+    safe = jnp.where(in_win, ids, arrays[0].shape[0])  # OOB -> dropped
+    return tuple(
+        a.at[safe].set(v, mode="drop") for a, v in zip(arrays, values)
+    )
+
+
+def _reference_rows_update(arrays, ids, deltas, modes, masks, n_real):
+    """Pure-JAX reference for pallas_rows_update's contract: slots past
+    n_real are padding (skipped); "add" in f32 math stored in the array
+    dtype; "set" is a masked byte-select merge."""
+    K = ids.shape[0]
+    V = arrays[0].shape[0]
+    k = jnp.arange(K, dtype=jnp.int32)
+    valid = k < n_real[0]
+    idc = jnp.clip(ids, 0, V - 1)
+    safe = jnp.where(valid, idc, V)  # pads -> dropped
+    outs = []
+    set_idx = 0
+    for a, (arr, d, mode) in enumerate(zip(arrays, deltas, modes)):
+        old = jnp.take(arr, idc, axis=0)
+        if mode == "set":
+            new = jnp.where(masks[a] != 0, d, old)
+            set_idx += 1
+        else:
+            new = (
+                old.astype(jnp.float32) + d.astype(jnp.float32)
+            ).astype(arr.dtype)
+        outs.append(arr.at[safe].set(new, mode="drop"))
+    return tuple(outs)
 
 
 def _rmw_kernel(chunk, n_arrays, modes, ids_ref, nreal_ref, *refs):
@@ -175,6 +220,8 @@ def pallas_rows_write(arrays, ids, values, *, n_real=None, bounds=None,
             bounds = jnp.concatenate(
                 [jnp.zeros((1,), jnp.int32), n_real.astype(jnp.int32)]
             )
+    if interpret and interpret != "pallas":
+        return _reference_rows_write(arrays, ids, values, bounds)
     win = lambda i, ids, bounds: (i, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -195,7 +242,7 @@ def pallas_rows_write(arrays, ids, values, *, n_real=None, bounds=None,
         out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrays],
         grid_spec=grid_spec,
         input_output_aliases={2 + n + a: a for a in range(n)},
-        interpret=interpret,
+        interpret=bool(interpret),
     )(ids, bounds, *values, *arrays)
     return tuple(out)
 
@@ -321,6 +368,8 @@ def pallas_rows_write_pipelined(arrays, ids, values, *, n_real=None,
             bounds = jnp.concatenate(
                 [jnp.zeros((1,), jnp.int32), n_real.astype(jnp.int32)]
             )
+    if interpret and interpret != "pallas":
+        return _reference_rows_write(arrays, ids, values, bounds)
     n_chunks = K // chunk
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -340,7 +389,7 @@ def pallas_rows_write_pipelined(arrays, ids, values, *, n_real=None,
         out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrays],
         grid_spec=grid_spec,
         input_output_aliases={2 + n + a: a for a in range(n)},
-        interpret=interpret,
+        interpret=bool(interpret),
     )(ids, bounds, *values, *arrays)
     return tuple(out)
 
@@ -388,6 +437,9 @@ def pallas_rows_update(arrays, ids, deltas, *, modes=None, masks=None,
     s = len(set_masks)
     if n_real is None:
         n_real = jnp.full((1,), K, jnp.int32)
+    if interpret and interpret != "pallas":
+        return _reference_rows_update(arrays, ids, deltas, modes, masks,
+                                      n_real)
     win = lambda i, ids, nreal: (i, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -419,7 +471,7 @@ def pallas_rows_update(arrays, ids, deltas, *, modes=None, masks=None,
         # prefetched ids + n_real, the deltas and the set masks) to output
         # a so the update is in-place
         input_output_aliases={2 + n + s + a: a for a in range(n)},
-        interpret=interpret,
+        interpret=bool(interpret),
     )(ids, n_real, *deltas, *set_masks, *arrays)
     return tuple(out)
 

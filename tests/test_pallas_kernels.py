@@ -92,7 +92,7 @@ def test_pallas_rows_add_matches_xla_scatter():
     d_t = jnp.asarray(rng.randn(K, D).astype(np.float32))
     d_m = jnp.asarray(rng.randn(K, D).astype(np.float32))
     got_t, got_m = pallas_rows_add(
-        (table, mu), ids, (d_t, d_m), chunk=8, interpret=True
+        (table, mu), ids, (d_t, d_m), chunk=8, interpret="pallas"
     )
     np.testing.assert_allclose(
         np.asarray(got_t), np.asarray(table.at[ids].add(d_t)), rtol=1e-6
@@ -110,7 +110,7 @@ def test_pallas_rows_add_bf16_storage():
     ids = jnp.asarray(rng.choice(V, size=K, replace=False).astype(np.int32))
     nu = jnp.asarray(rng.rand(V, D).astype(np.float32)).astype(jnp.bfloat16)
     d_n = jnp.asarray(rng.randn(K, D).astype(np.float32))
-    (got,) = pallas_rows_add((nu,), ids, (d_n,), chunk=8, interpret=True)
+    (got,) = pallas_rows_add((nu,), ids, (d_n,), chunk=8, interpret="pallas")
     expect = (
         jnp.take(nu, ids, axis=0).astype(jnp.float32) + d_n
     ).astype(jnp.bfloat16)
@@ -140,7 +140,7 @@ def test_pallas_rows_write_sets_rows_and_skips_pads():
     n_real = jnp.asarray([10], jnp.int32)
     got_t, got_m = pallas_rows_write(
         (table, monu), ids, (vals_t, vals_m), n_real=n_real, chunk=4,
-        interpret=True,
+        interpret="pallas",
     )
     # written rows take the new values (chunks 0-1 full, chunk 2 boundary)
     np.testing.assert_allclose(
@@ -175,7 +175,7 @@ def test_pallas_rows_write_pipelined_matches_unpipelined():
     vals_t = jnp.asarray(rng.randn(K, D).astype(np.float32))
     vals_m = jnp.asarray(rng.randn(K, D).astype(np.float32))
     for bounds in (None, jnp.asarray([3, 10], jnp.int32)):
-        kw = dict(chunk=4, interpret=True)
+        kw = dict(chunk=4, interpret="pallas")
         if bounds is None:
             kw["n_real"] = jnp.asarray([10], jnp.int32)
         else:
@@ -186,3 +186,51 @@ def test_pallas_rows_write_pipelined_matches_unpipelined():
             (table, monu), ids, (vals_t, vals_m), **kw)
         np.testing.assert_array_equal(np.asarray(got_t), np.asarray(ref_t))
         np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))
+
+
+def test_rows_kernels_reference_path_matches_interpreter():
+    """interpret=True now runs a fast pure-JAX reference of the kernel
+    contract (the CPU suite's path); pin it bit-equal to the genuine
+    pallas interpreter (interpret="pallas") for write AND rmw forms,
+    including pads, boundary chunks, and the sharded [lo, hi) window."""
+    from mmlrec_tpu.ops.pallas_scatter import (
+        pallas_rows_update,
+        pallas_rows_write,
+    )
+
+    V, D, K = 64, 128, 16
+    rng = np.random.RandomState(11)
+    real = rng.choice(V, size=10, replace=False).astype(np.int32)
+    pads = np.setdiff1d(np.arange(V), real)[: K - 10].astype(np.int32)
+    ids = jnp.asarray(np.concatenate([np.sort(real), pads]))
+    table = jnp.asarray(rng.rand(V, D).astype(np.float32))
+    monu = jnp.asarray(rng.rand(V, D).astype(np.float32))
+    vals_t = jnp.asarray(rng.randn(K, D).astype(np.float32))
+    vals_m = jnp.asarray(rng.randn(K, D).astype(np.float32))
+    for kw in (
+        {"n_real": jnp.asarray([10], jnp.int32)},
+        {"bounds": jnp.asarray([3, 10], jnp.int32)},
+    ):
+        a = pallas_rows_write((table, monu), ids, (vals_t, vals_m),
+                              chunk=4, interpret="pallas", **kw)
+        b = pallas_rows_write((table, monu), ids, (vals_t, vals_m),
+                              chunk=4, interpret=True, **kw)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # rmw form: one "add" array + one "set" (masked byte-merge) array;
+    # pad-slot deltas zero / masks zero, as the contract requires
+    d_t = jnp.asarray(rng.randn(K, D).astype(np.float32))
+    d_t = d_t.at[10:].set(0.0)
+    d_m = jnp.asarray(rng.randn(K, D).astype(np.float32))
+    mask = jnp.asarray((rng.rand(K, D) > 0.5).astype(np.float32))
+    d_m = d_m * mask
+    mask = mask.at[10:].set(0.0)
+    kwu = dict(modes=("add", "set"), masks=(None, mask),
+               n_real=jnp.asarray([10], jnp.int32), chunk=4)
+    a = pallas_rows_update((table, monu), ids, (d_t, d_m),
+                           interpret="pallas", **kwu)
+    b = pallas_rows_update((table, monu), ids, (d_t, d_m),
+                           interpret=True, **kwu)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
