@@ -51,6 +51,8 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true",
                    help="use synthetic data with the config's schema")
     p.add_argument("--synthetic_rows", type=int, default=20000)
+    p.add_argument("--synthetic_vocab", type=int, default=100,
+                   help="per-feature vocabulary for --synthetic data")
     p.add_argument("--vmap_seeds", action="store_true",
                    help="train the whole seed suite CONCURRENTLY as one "
                         "vmapped program (train/multi_seed.py) instead of "
@@ -77,8 +79,9 @@ def load_dataset(cfg: ExperimentConfig, args):
         from mmlrec_tpu.synthetic import make_data
 
         n_train, n_test = args.synthetic_rows, max(args.synthetic_rows // 4, 1000)
-        layout, x_tr, y_tr, _ = make_data(cfg, n=n_train, seed=0)
-        _, x_te, y_te, _ = make_data(cfg, n=n_test, seed=1)
+        v = args.synthetic_vocab
+        layout, x_tr, y_tr, _ = make_data(cfg, n=n_train, seed=0, vocab=v)
+        _, x_te, y_te, _ = make_data(cfg, n=n_test, seed=1, vocab=v)
         dc = cfg.data_config
         test_mask = None
         if cfg.model_config.task_name in ("msl", "mtmsl") and dc.mask_column:
