@@ -83,6 +83,17 @@ def make_csvs(tmpdir: str):
         + rng.normal(0, 1.0, n)
     )
     df["label"] = (logits > 0).astype(int)
+    # second task label for the mtmsl regime (separate rng stream so the
+    # msl columns above are byte-identical whether or not it exists);
+    # domain-opposed via a DIFFERENT feature (c3)
+    rng2 = np.random.default_rng(778)
+    logits2 = (
+        (df["c1"] % 5) / 2.5 - 1.0
+        + df["n1"] * 0.5
+        + sgn * ((df["c3"] % 4) / 1.0 - 1.5)
+        + rng2.normal(0, 1.0, n)
+    )
+    df["label2"] = (logits2 > 0).astype(int)
     train_p = os.path.join(tmpdir, "train.csv")
     test_p = os.path.join(tmpdir, "test.csv")
     df[:N_TRAIN].to_csv(train_p, index=False)
@@ -91,17 +102,24 @@ def make_csvs(tmpdir: str):
 
 
 def make_config(train_p, test_p, model_name, epochs=EPOCHS,
-                early_stop=EARLY_STOP):
+                early_stop=EARLY_STOP, task="msl"):
+    if task == "msl":
+        labels, label_cols = ["label"], ["label", "label"]
+        n_heads = 2
+    else:  # mtmsl: 2 tasks x 2 domains, task-major head layout
+        labels = ["label", "label2"]
+        label_cols = ["label", "label", "label2", "label2"]
+        n_heads = 4
     data_config = {
-        "data_name": "parity_msl",
+        "data_name": f"parity_{task}",
         "train_dataset_path": train_p,
         "test_dataset_path": test_p,
         "all_columns": [f"c{i}" for i in range(6)]
-        + ["scene", "n0", "n1", "label"],
+        + ["scene", "n0", "n1"] + labels,
         "feature_columns": [f"c{i}" for i in range(6)],
         "dense_columns": ["n0", "n1"],
         "ignore_columns": [],
-        "label_columns": ["label", "label"],
+        "label_columns": label_cols,
         "num_domains": 2,
         "mask_values": [0, 1],
         "mask_column": "scene",
@@ -110,11 +128,11 @@ def make_config(train_p, test_p, model_name, epochs=EPOCHS,
     return {
         "data_config": data_config,
         "model_config": {
-            "task_name": "msl",
+            "task_name": task,
             "model_name": model_name,
             "task": "binary",
-            "task_names": ["ctr", "ctr"],
-            "task_types": ["binary", "binary"],
+            "task_names": ["ctr"] * n_heads,
+            "task_types": ["binary"] * n_heads,
             "emb": 8,
             "num_experts": 4,
             "expert_dnn_hidden_units": [64, 32],
@@ -128,7 +146,7 @@ def make_config(train_p, test_p, model_name, epochs=EPOCHS,
         },
         "optim_config": {
             "lr": 0.001, "optimizer": "adam",
-            "loss": ["binary_crossentropy", "binary_crossentropy"],
+            "loss": ["binary_crossentropy"] * n_heads,
             "metrics": ["auc"], "early_stop": early_stop,
         },
         "training_config": {"train_batch_size": 1024,
@@ -138,16 +156,41 @@ def make_config(train_p, test_p, model_name, epochs=EPOCHS,
 
 
 def _masked_aucs(y, preds, test_mask):
-    """Reference main.py:135-146: per-head AUC over that domain's rows +
-    total AUC over the mask-summed predictions."""
+    """Per-head AUC over that domain's rows (exactly reference
+    main.py:136-144) + a total AUC over the MASK-SUMMED predictions.
+
+    The total deliberately deviates from reference main.py:145, which sums
+    ALL heads' raw predictions (its predict path nulls the domain mask,
+    basemodel.py:436-437, so every row's score mixes other domains' heads);
+    the mask-summed total scores each row by ITS domain's head — the
+    quantity the msl regime is actually about.  Computed identically for
+    all three columns, so cross-column deltas are unaffected.  The
+    framework's own CSV rows (train/metrics.py::masked_test_metrics) keep
+    the reference's unmasked-sum total for row-schema parity."""
     from sklearn.metrics import roc_auc_score
 
     out = []
-    for i in range(test_mask.shape[1]):
-        m = test_mask[:, i] > 0
-        out.append(round(float(roc_auc_score(y[m], preds[m, i])), 4))
-    total = (preds * test_mask).sum(axis=1)
-    out.append(round(float(roc_auc_score(y, total)), 4))
+    D = test_mask.shape[1]
+    n_heads = preds.shape[1]
+    if n_heads == D:  # msl: head i <-> domain i
+        for i in range(D):
+            m = test_mask[:, i] > 0
+            out.append(round(float(roc_auc_score(y[m, 0], preds[m, i])), 4))
+        total = (preds * test_mask).sum(axis=1)
+        out.append(round(float(roc_auc_score(y[:, 0], total)), 4))
+        return out
+    # mtmsl: head i serves task i // D, domain i % D (reference
+    # main.py:147-163); total = mean of the per-task mask-summed AUCs
+    # (sklearn's multi-output average, as the reference's 2-col call does)
+    T = n_heads // D
+    totals = []
+    for i in range(n_heads):
+        m = test_mask[:, i % D] > 0
+        out.append(round(float(roc_auc_score(y[m, i // D], preds[m, i])), 4))
+    for t in range(T):
+        tp = (preds[:, t * D:(t + 1) * D] * test_mask).sum(axis=1)
+        totals.append(float(roc_auc_score(y[:, t], tp)))
+    out.append(round(float(np.mean(totals)), 4))
     return out
 
 
@@ -216,7 +259,7 @@ def run_reference(config, seed):
     name = cfg["model_config"]["model_name"]
     model = ref_cls(name)(dnn_cols, device="cpu", config=cfg)
     model.compile(optimizer="adam",
-                  loss=["binary_crossentropy", "binary_crossentropy"],
+                  loss=list(cfg["optim_config"]["loss"]),
                   metrics=["auc"])
     # the reference dedupes target (main.py:101 list(set(...))); its
     # reindexed df carries the label column DUPLICATED (ctrdataset reindex
@@ -232,9 +275,12 @@ def run_reference(config, seed):
                      epochs=cfg["training_config"]["epochs"],
                      validation_data=(te_in, y_te))
     preds = np.asarray(best.predict(te_in, 1024))
-    if preds.shape[1] > 2:  # escm keeps [pCTR, pCTCVR] already in predict
-        preds = preds[:, :2]
-    return _masked_aucs(y_te[:, 0], preds, np.asarray(test_mask))
+    n_heads = len(cfg["data_config"]["label_columns"])
+    preds = preds[:, :n_heads]
+    D = cfg["data_config"]["num_domains"]
+    # per-TASK label columns (the duplicated-column df yields task-major
+    # [l, l, l2, l2]; every D-th column is one task's label)
+    return _masked_aucs(y_te[:, ::D], preds, np.asarray(test_mask))
 
 
 def run_ours(config, seed, intended: bool):
@@ -259,8 +305,12 @@ def run_ours(config, seed, intended: bool):
            epochs=cfg.training_config.epochs,
            validation_data=(ds.test_input, ds.y_test), verbose=0)
     preds = np.asarray(tr.predict(ds.test_input, 1024))
-    y = np.asarray(ds.y_test)[:, 0]
-    return _masked_aucs(y, preds[:, :2], np.asarray(ds.test_mask))
+    n_heads = len(cfg.data_config.label_columns)
+    D = cfg.data_config.num_domains
+    y2 = tr._prepare_y(ds.y_test)  # [N, n_heads] task-major replicated
+    return _masked_aucs(
+        y2[:, ::D], preds[:, :n_heads], np.asarray(ds.test_mask)
+    )
 
 
 def summarize(path):
@@ -297,6 +347,7 @@ def main():
     ap.add_argument("--out", default=os.path.join(
         REPO, "results", "protocol_parity_msl.jsonl"))
     ap.add_argument("--skip_ref", action="store_true")
+    ap.add_argument("--task", default="msl", choices=["msl", "mtmsl"])
     ap.add_argument("--summarize", default=None)
     args = ap.parse_args()
     if args.summarize:
@@ -319,7 +370,7 @@ def main():
     tmpdir = tempfile.mkdtemp()
     train_p, test_p = make_csvs(tmpdir)
     for model_name in args.models.split(","):
-        config = make_config(train_p, test_p, model_name,
+        config = make_config(train_p, test_p, model_name, task=args.task,
                              epochs=args.epochs, early_stop=args.early_stop)
         for seed in [int(s) for s in args.seeds.split(",")]:
             key = f"{model_name}_seed{seed}"
