@@ -8,7 +8,11 @@ this environment torch is CPU-only, so this measures the reference on the
 only hardware it can use here.  The resulting examples/s is recorded in
 BASELINE.md and used as bench.py's ``vs_baseline`` denominator.
 
-Run:  python benchmarks/bench_reference_torch.py
+Run:  python benchmarks/bench_reference_torch.py [--predict]
+
+--predict times the inference path instead (model.eval() + no_grad
+forward, the core of the reference's predict(), model/basemodel.py:395-457,
+sans its per-batch numpy round-trips) for BASELINE.md's inference table.
 """
 
 from __future__ import annotations
@@ -63,6 +67,27 @@ def main():
     dense = rng.random((batch_size, n_dense), dtype=np.float32)
     x = torch.from_numpy(np.concatenate([ids, dense], axis=1))
     y = torch.from_numpy(rng.integers(0, 2, (batch_size, 2)).astype(np.float32))
+
+    if "--predict" in sys.argv:
+        model.eval()
+
+        def run(iters):
+            with torch.no_grad():
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    model(x, None)
+                return time.perf_counter() - t0
+
+        run(3)
+        iters = 50
+        dt = run(iters)
+        print(json.dumps({
+            "metric": "reference_torch_cpu_predict_throughput_mmoe_ae",
+            "value": round(batch_size * iters / dt, 1),
+            "unit": "examples/s",
+            "batch4096_ms": round(dt / iters * 1e3, 2),
+        }))
+        return
 
     loss_funcs = model.loss_func
     optim = model.optim

@@ -16,6 +16,13 @@ remaining lever is ISSUING FEWER DMAs.  This probe measures, same-window:
      [1, 128] copies — halves issues even for UNIFORM traffic if Mosaic
      charges one issue for the strided pair.
 
+MEASUREMENT DISCIPLINE (CLAUDE.md): at ~5 GB donated state the
+per-dispatch floor is milliseconds — the same order as the kernel itself —
+so chained single-kernel dispatches are floor-confounded garbage.  Each
+variant therefore runs the kernel N times INSIDE one jitted lax.scan
+(fresh ids per scan step), at N=16 and N=32, and reports the MARGINAL
+per-row time ((t32 - t16) / (16 * K)): the dispatch floor cancels exactly.
+
 Output: ns/row per variant + implied floor for the 40M step.
 """
 from __future__ import annotations
@@ -32,15 +39,15 @@ import numpy as np
 
 V = int(os.environ.get("ROWS", 10_000_000))  # physical rows (40M/4 packed)
 K = int(os.environ.get("K", 65536))          # touched rows per step
-ITERS = int(os.environ.get("ITERS", 20))
+ITERS = int(os.environ.get("ITERS", 8))      # timed dispatches per window
+NS = (16, 32)                                # scan lengths (floor cancels)
 
 
 def _kernel_rows(R, ids_ref, *refs):
     """Write grid block i's [chunk, 128] VMEM values to rows ids[i*chunk/R
     ... ] as [R, 128] DMAs."""
-    import jax
-    from jax.experimental.pallas import tpu as pltpu
     import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     (v_ref, _table_in, out_ref, sem) = refs
     i = pl.program_id(0)
@@ -58,7 +65,8 @@ def _kernel_rows(R, ids_ref, *refs):
         ).wait()
 
 
-def build_rows_writer(R: int, chunk: int = 256, interpret: bool = False):
+def build_rows_writer(R: int, n_scan: int, chunk: int = 256,
+                      interpret: bool = False):
     import jax
     import jax.numpy as jnp
     import jax.experimental.pallas as pl
@@ -76,7 +84,7 @@ def build_rows_writer(R: int, chunk: int = 256, interpret: bool = False):
         scratch_shapes=[pltpu.SemaphoreType.DMA],
     )
 
-    def writer(table, ids, values):
+    def one(table, ids, values):
         return pl.pallas_call(
             functools.partial(_kernel_rows, R),
             out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
@@ -85,7 +93,14 @@ def build_rows_writer(R: int, chunk: int = 256, interpret: bool = False):
             interpret=interpret,
         )(ids, values, table)
 
-    return jax.jit(writer, donate_argnums=(0,))
+    def stepper(table, ids_all, values):
+        # ids_all: [n_scan, K // R]; fresh rows per scan step
+        def body(t, ids):
+            return one(t, ids, values), None
+        table, _ = jax.lax.scan(body, table, ids_all)
+        return table
+
+    return jax.jit(stepper, donate_argnums=(0,)), n_scan
 
 
 def _kernel_dual(ids_ref, *refs):
@@ -125,7 +140,7 @@ def build_dual_writer(chunk: int = 256, interpret: bool = False):
         scratch_shapes=[pltpu.SemaphoreType.DMA],
     )
 
-    def writer(stacked, ids, values):
+    def one(stacked, ids, values):
         return pl.pallas_call(
             _kernel_dual,
             out_shape=jax.ShapeDtypeStruct(stacked.shape, stacked.dtype),
@@ -134,25 +149,50 @@ def build_dual_writer(chunk: int = 256, interpret: bool = False):
             interpret=interpret,
         )(ids, values, stacked)
 
-    return jax.jit(writer, donate_argnums=(0,))
+    def stepper(stacked, ids_all, values):
+        def body(s, ids):
+            return one(s, ids, values), None
+        stacked, _ = jax.lax.scan(body, stacked, ids_all)
+        return stacked
+
+    return jax.jit(stepper, donate_argnums=(0,))
 
 
-def time_writer(step, state, ids, values):
-    import jax.numpy as jnp
+def _chain_sync(s):
+    return float(np.asarray(s.ravel()[0]))
 
-    def chain_sync(s):
-        return float(np.asarray(s.ravel()[0]))
 
-    state = step(state, ids, values)
-    chain_sync(state)
+def time_scanned(stepper, state, ids_all, values):
+    """Best-of window time for ITERS chained dispatches of the scanned
+    program; returns seconds per DISPATCH (n_scan kernel runs + floor)."""
+    state = stepper(state, ids_all, values)
+    _chain_sync(state)
     best = float("inf")
-    for _ in range(4):
+    for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            state = step(state, ids, values)
-        chain_sync(state)
+            state = stepper(state, ids_all, values)
+        _chain_sync(state)
         best = min(best, (time.perf_counter() - t0) / ITERS)
     return best, state
+
+
+def run_variant(make_state, build, make_ids, values, interpret, check=None):
+    """Time at NS[0] and NS[1] scan lengths; return marginal s/kernel-run."""
+    times = {}
+    for n_scan in NS:
+        state = make_state()
+        ids_all = make_ids(n_scan)
+        import jax.numpy as jnp
+
+        stepper = build(n_scan)
+        dt, state = time_scanned(stepper, state, jnp.asarray(ids_all), values)
+        times[n_scan] = dt
+        if interpret and check is not None:
+            check(state, ids_all)
+        del state, stepper
+    marginal = (times[NS[1]] - times[NS[0]]) / (NS[1] - NS[0])
+    return marginal, times
 
 
 def main():
@@ -165,41 +205,60 @@ def main():
     rng = np.random.default_rng(0)
     results = {}
 
+    values = jnp.asarray(rng.random((K, 128)), jnp.float32)
     for R in (1, 2, 4, 8, 16):
-        # ids: K/R run starts, each run R-contiguous, runs disjoint
-        starts = np.sort(
-            rng.choice(V // (2 * R), K // R, replace=False).astype(np.int32)
-        ) * (2 * R)
-        table = jnp.zeros((V, 128), jnp.float32)
-        values = jnp.asarray(rng.random((K, 128)), jnp.float32)
-        step = build_rows_writer(R, interpret=interpret)
-        dt, table = time_writer(step, table, jnp.asarray(starts), values)
-        ns_row = dt / K * 1e9
-        results[f"R{R}"] = ns_row
-        print(f"[R={R:2d}] {dt*1e3:7.3f} ms  {ns_row:6.1f} ns/row "
-              f"({K//R} DMA pairs)", flush=True)
-        if interpret:
-            got = np.asarray(table[starts[0]:starts[0]+R])
-            np.testing.assert_allclose(got, np.asarray(values[:R]))
-        del table
+        def make_ids(n_scan, R=R):
+            # fresh disjoint R-contiguous run starts per scan step
+            out = np.empty((n_scan, K // R), np.int32)
+            for s in range(n_scan):
+                out[s] = np.sort(
+                    rng.choice(V // (2 * R), K // R, replace=False)
+                ).astype(np.int32) * (2 * R)
+            return out
 
-    # dual-array strided row write
-    stacked = jnp.zeros((2, V, 128), jnp.float32)
-    ids = np.sort(rng.choice(V, K, replace=False).astype(np.int32))
+        def check(table, ids_all, R=R):
+            got = np.asarray(table[ids_all[-1][0]:ids_all[-1][0] + R])
+            np.testing.assert_allclose(got, np.asarray(values[:R]))
+
+        marginal, times = run_variant(
+            lambda: jnp.zeros((V, 128), jnp.float32),
+            lambda n: build_rows_writer(R, n, interpret=interpret)[0],
+            make_ids, values, interpret, check)
+        ns_row = marginal / K * 1e9
+        results[f"R{R}"] = ns_row
+        print(f"[R={R:2d}] t16={times[16]*1e3:7.3f} ms t32={times[32]*1e3:7.3f} ms"
+              f"  marginal {marginal*1e3:6.3f} ms  {ns_row:6.1f} ns/row "
+              f"({K//R} DMA pairs)", flush=True)
+
+    # dual-array strided row write.  The stacked container is 2x a table;
+    # DUAL_ROWS trims V so it fits HBM next to transient double-buffers
+    # (per-row DMA cost is V-independent for uniform random rows).
+    V2 = int(os.environ.get("DUAL_ROWS", min(V, 6_000_000)))
     values2 = jnp.asarray(rng.random((2, K, 128)), jnp.float32)
-    step = build_dual_writer(interpret=interpret)
-    dt, stacked = time_writer(step, stacked, jnp.asarray(ids), values2)
-    # per-row basis: each row carries 2 arrays' worth => compare with 2*R1
-    ns_row = dt / K * 1e9
-    results["dual"] = ns_row
-    print(f"[dual] {dt*1e3:7.3f} ms  {ns_row:6.1f} ns/row-pair "
-          f"(1 strided issue for 2 arrays)", flush=True)
-    if interpret:
-        got = np.asarray(stacked[:, ids[0]])
+
+    def make_ids_dual(n_scan):
+        out = np.empty((n_scan, K), np.int32)
+        for s in range(n_scan):
+            out[s] = np.sort(rng.choice(V2, K, replace=False)).astype(np.int32)
+        return out
+
+    def check_dual(stacked, ids_all):
+        got = np.asarray(stacked[:, ids_all[-1][0]])
         np.testing.assert_allclose(got, np.asarray(values2[:, 0]))
 
+    marginal, times = run_variant(
+        lambda: jnp.zeros((2, V2, 128), jnp.float32),
+        lambda n: build_dual_writer(interpret=interpret),
+        make_ids_dual, values2, interpret, check_dual)
+    ns_row = marginal / K * 1e9
+    results["dual"] = ns_row
+    print(f"[dual] t16={times[16]*1e3:7.3f} ms t32={times[32]*1e3:7.3f} ms"
+          f"  marginal {marginal*1e3:6.3f} ms  {ns_row:6.1f} ns/row-pair "
+          f"(1 strided issue for 2 arrays; compare 2x R1)", flush=True)
+
     print(json.dumps({"metric": "dma_issue_floor_ns_per_row",
-                      "V": V, "K": K, **{k: round(v, 1) for k, v in results.items()}}))
+                      "V": V, "K": K,
+                      **{k: round(v, 1) for k, v in results.items()}}))
 
 
 if __name__ == "__main__":
