@@ -294,7 +294,11 @@ def run_ours(config, seed, intended: bool):
     cfg_dict = copy.deepcopy(config)
     if intended:
         cfg_dict["model_config"]["masked_loss"] = True
-        cfg_dict["model_config"]["snr_stochastic_gates"] = True
+        # INTENDED_NO_GATES=1 isolates masked_loss from the stochastic-gate
+        # mechanism (used to attribute per-task dead-head draws in the
+        # mtmsl regime — BASELINE.md round 3)
+        if not os.environ.get("INTENDED_NO_GATES"):
+            cfg_dict["model_config"]["snr_stochastic_gates"] = True
         cfg_dict["model_config"]["domain_bn_mode"] = "intended"
     cfg = ExperimentConfig.from_dict(cfg_dict)
     ds = ctrdataset(cfg)
@@ -325,12 +329,15 @@ def summarize(path):
         rs = [r for r in by_model[m] if r.get("ours")]
         if not rs:
             continue
+        # rows carry [head_0 .. head_{H-1}, total]; msl H=2, mtmsl H=4.
+        # Show the first two heads and the LAST entry (the mask-summed
+        # total AUC) so the table reads the same in both regimes.
         def col(key, idx):
             vals = [r[key][idx] for r in rs if r.get(key)]
             return float(np.mean(vals)) if vals else float("nan")
-        f = [col("ours", i) for i in range(3)]
-        i_ = [col("ours_intended", i) for i in range(3)]
-        ref = [col("reference", i) for i in range(3)]
+        f = [col("ours", i) for i in (0, 1, -1)]
+        i_ = [col("ours_intended", i) for i in (0, 1, -1)]
+        ref = [col("reference", i) for i in (0, 1, -1)]
         print(f"| {m} | {len(rs)} | "
               f"{ref[0]:.4f}/{ref[1]:.4f}/{ref[2]:.4f} | "
               f"{f[0]:.4f}/{f[1]:.4f}/{f[2]:.4f} | "
