@@ -42,7 +42,10 @@ def run(mode: str, vocab_per_feature: int = VOCAB, n_sparse: int = 16,
     from mmlrec_tpu.models import get_model
     from mmlrec_tpu.synthetic import make_config
     from mmlrec_tpu.train import Trainer
-    from mmlrec_tpu.train.sparse_embedding import init_sparse_adam
+    from mmlrec_tpu.train.sparse_embedding import (
+        SparseAdamFoldedState,
+        init_sparse_adam,
+    )
 
     kw = dict(
         task_name="mtl", model_name="mmoe", emb=emb_dim, n_sparse=n_sparse,
@@ -53,6 +56,13 @@ def run(mode: str, vocab_per_feature: int = VOCAB, n_sparse: int = 16,
     # always explicit: the trainer's default is now "auto", which would
     # silently turn the scatter baseline into pallas on TPU
     kw["table_update"] = mode
+    # MONU_GATHER=xla|pallas A/Bs the moment-container gather routing
+    if os.environ.get("MONU_GATHER"):
+        kw["monu_gather"] = os.environ["MONU_GATHER"]
+    # TABLE_CONTAINER=stacked folds the moment container into the table
+    # param ([2Vp, 128]) for single-strided-DMA dual row writes
+    if os.environ.get("TABLE_CONTAINER"):
+        kw["table_container"] = os.environ["TABLE_CONTAINER"]
     cfg = make_config(**kw)
     cols = [SparseFeat(f"s{i}", vocab_per_feature, emb_dim)
             for i in range(n_sparse)] + [DenseFeat(f"d{i}", 1) for i in range(4)]
@@ -79,10 +89,15 @@ def run(mode: str, vocab_per_feature: int = VOCAB, n_sparse: int = 16,
         "opt_state": trainer.tx.init(trainer._without_table(params)[0]),
         "rng": jax.random.PRNGKey(1),
         # mirrors Trainer: pallas + bf16 -> (mu, nu) pairs packed into
-        # f32 lanes (Mosaic cannot row-slice bf16 HBM arrays)
-        "table_opt": init_sparse_adam(
-            table, dtype=MOMENT_DTYPE,
-            packed=mode == "pallas" and MOMENT_DTYPE == "bfloat16",
+        # f32 lanes (Mosaic cannot row-slice bf16 HBM arrays); stacked ->
+        # the moments live in the fat table param, count-only state
+        "table_opt": (
+            SparseAdamFoldedState(count=jnp.zeros((), jnp.int32))
+            if os.environ.get("TABLE_CONTAINER") == "stacked"
+            else init_sparse_adam(
+                table, dtype=MOMENT_DTYPE,
+                packed=mode == "pallas" and MOMENT_DTYPE == "bfloat16",
+            )
         ),
     }
     offs = np.asarray(trainer._fused_offsets)[None, :]

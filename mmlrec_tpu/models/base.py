@@ -92,6 +92,12 @@ class RecModel(nn.Module):
             # scales the matmul-grad one-hot budget to the REAL transient
             # memory, S one-hots materializing at once under vmap
             grad_budget_divisor=int(self.mc.extra.get("_grad_budget_div", 1)),
+            # "stacked": fold the two-phase moment container into the table
+            # param for single-strided-DMA row updates (ops/embedding.py
+            # FusedEmbedding.dual_container; trainer validates the combo)
+            dual_container=(
+                str(self.mc.extra.get("table_container", "split")) == "stacked"
+            ),
             name="embeddings",
         )
 

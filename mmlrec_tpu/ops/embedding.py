@@ -173,6 +173,15 @@ class FusedEmbedding(nn.Module):
     # (otherwise the >105 MB memory cliff the cap guards against silently
     # reappears at large S; round-2 advisor finding).
     grad_budget_divisor: int = 1
+    # table_container="stacked": the param is [2*Vp, 128] — table rows in
+    # [0, Vp), the two-phase SparseAdam packed (mu, nu) moment container in
+    # [Vp, 2*Vp) (train/sparse_embedding.py SparseAdamFoldedState).  ONE
+    # contiguous array lets the pallas table update write a touched row's
+    # table+moment pair with a single [2, 1, 128] strided DMA.  Gathers
+    # (forward/eval/predict) only ever touch rows < Vp, so every other
+    # path is unchanged; the table half's init draws EXACTLY the same
+    # normals as the split layout (bitwise-equal transplants/fits).
+    dual_container: bool = False
 
     def setup(self):
         if self.grad_mode not in ("auto", "matmul", "scatter"):
@@ -199,11 +208,25 @@ class FusedEmbedding(nn.Module):
             shape = (self._rows // self.pack_factor, self.pack_lanes)
         else:
             shape = (self._rows, self.dim)
-        self.table = self.param(
-            "table",
-            _padded_normal_init(self.init_std, total, self.pack_factor, self.dim),
-            shape,
+        base_init = _padded_normal_init(
+            self.init_std, total, self.pack_factor, self.dim
         )
+        if self.dual_container:
+            # NOTE Mosaic's strided row DMA needs 128-lane f32 physical
+            # rows on real TPUs — same constraint as the split pallas
+            # update, enforced by the trainer's auto-resolution; narrower
+            # test-size tables run the interpret reference path.
+
+            def dual_init(key, s, dtype=jnp.float32):
+                half = (s[0] // 2, s[1])
+                return jnp.concatenate(
+                    [base_init(key, half, dtype),
+                     jnp.zeros(half, dtype)], axis=0)
+
+            self.table = self.param(
+                "table", dual_init, (2 * shape[0], shape[1]))
+        else:
+            self.table = self.param("table", base_init, shape)
 
     def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
         """ids: int32 [B, F] (per-feature local ids) -> [B, F, dim]."""
@@ -245,6 +268,7 @@ class EmbeddingCollection(nn.Module):
     # select already rides the MXU).
     grad_mode: str = "auto"
     grad_budget_divisor: int = 1  # vmap stack width (see FusedEmbedding)
+    dual_container: bool = False  # fold the moment container into the param
 
     def setup(self):
         sparse_names = [s.feature.embedding_name for s in self.layout.sparse_slots]
@@ -261,6 +285,7 @@ class EmbeddingCollection(nn.Module):
                 pad_to=self.pad_to,
                 grad_mode=self.grad_mode,
                 grad_budget_divisor=self.grad_budget_divisor,
+                dual_container=self.dual_container,
             )
             # varlen features (and only those) get dedicated tables.
             table_names = varlen_names

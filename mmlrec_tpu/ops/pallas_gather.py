@@ -70,3 +70,59 @@ def pallas_row_gather(
         grid_spec=grid_spec,
         interpret=interpret,
     )(ids, table)
+
+
+def _hbm_gather_kernel(chunk: int, ids_ref, table_ref, out_ref, sem):
+    i = pl.program_id(0)
+
+    def issue(j):
+        idx = ids_ref[i * chunk + j]
+        return pltpu.make_async_copy(
+            table_ref.at[idx], out_ref.at[i * chunk + j], sem
+        )
+
+    for j in range(chunk):
+        issue(j).start()
+    for j in range(chunk):
+        issue(j).wait()
+
+
+def pallas_rows_gather_hbm(
+    table: jnp.ndarray,
+    ids: jnp.ndarray,
+    *,
+    chunk: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """table [V, D] -> rows [K, D] via direct HBM->HBM row DMAs.
+
+    Unlike :func:`pallas_row_gather` (VMEM-blocked output: HBM->VMEM
+    scratch, VMEM->VMEM out block, Mosaic DMA back to HBM — 2x movement),
+    this mirrors the write kernel (ops/pallas_scatter.py): one HBM->HBM
+    copy per row, scalar-issue-bound at ~7.5 ns/row scan-amortized vs
+    ~20 ns/row for XLA's take at the 40M-step shape
+    (benchmarks/probe_row_gather_scan.py; docs/perf_notes.md round 3).
+    Used for the two-phase step's serialized moment-container gather.
+
+    ids may contain duplicates (reads race benignly).  K % chunk == 0.
+    INTERPRET MODES follow ops/pallas_scatter.py: ``True`` = fast pure-JAX
+    reference (jnp.take), ``"pallas"`` = genuine pallas interpreter,
+    ``False`` = Mosaic.
+    """
+    if interpret and interpret != "pallas":
+        return jnp.take(table, ids, axis=0)
+    K = ids.shape[0]
+    assert K % chunk == 0, (K, chunk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K // chunk,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        functools.partial(_hbm_gather_kernel, chunk),
+        out_shape=jax.ShapeDtypeStruct((K, table.shape[1]), table.dtype),
+        grid_spec=grid_spec,
+        interpret=bool(interpret),
+    )(ids, table)

@@ -483,3 +483,94 @@ def pallas_rows_add(arrays, ids, deltas, *, n_real=None, chunk: int = 256,
     return pallas_rows_update(
         arrays, ids, deltas, n_real=n_real, chunk=chunk, interpret=interpret
     )
+
+
+def _reference_rows_write_dual(stacked, ids, values, bounds):
+    """Pure-JAX reference for pallas_rows_write_dual's contract: one
+    [2, 1, 128] strided row-pair write per in-window slot."""
+    K = ids.shape[0]
+    k = jnp.arange(K, dtype=jnp.int32)
+    in_win = (k >= bounds[0]) & (k < bounds[1])
+    safe = jnp.where(in_win, ids, stacked.shape[1])  # OOB -> dropped
+    return stacked.at[:, safe].set(values, mode="drop")
+
+
+def _write_kernel_dual(chunk, ids_ref, bounds_ref, v_ref, _in, out_ref, sem):
+    i = pl.program_id(0)
+    lo = bounds_ref[0]
+    hi = bounds_ref[1]
+    c0 = i * chunk
+    c1 = (i + 1) * chunk
+
+    def write(j):
+        idx = ids_ref[i * chunk + j]
+        return pltpu.make_async_copy(
+            v_ref.at[:, pl.ds(j, 1)], out_ref.at[:, pl.ds(idx, 1)], sem
+        )
+
+    full = (c0 >= lo) & (c1 <= hi)
+
+    @pl.when(full)
+    def _full():
+        for j in range(chunk):
+            write(j).start()
+        for j in range(chunk):
+            write(j).wait()
+
+    @pl.when((c1 > lo) & (c0 < hi) & ~full)
+    def _boundary():
+        for j in range(chunk):
+            @pl.when((c0 + j >= lo) & (c0 + j < hi))
+            def _s(j=j):
+                write(j).start()
+        for j in range(chunk):
+            @pl.when((c0 + j >= lo) & (c0 + j < hi))
+            def _w(j=j):
+                write(j).wait()
+
+
+def pallas_rows_write_dual(stacked, ids, values, *, n_real=None, bounds=None,
+                           chunk: int = 256, interpret: bool = False):
+    """``stacked[:, ids[k]] = values[:, k]`` in ONE [2, 1, 128] strided DMA
+    per row — the dual-array form of :func:`pallas_rows_write`.
+
+    ``stacked`` is the [2, Vp, 128] view of the fused table+moment
+    container (table rows in plane 0, packed bf16 (mu, nu) pairs in plane
+    1); a strided descriptor writes BOTH planes' rows for one scalar-core
+    issue, measured 8.0 ns/row-pair vs 15.0 as two single-row copies
+    (benchmarks/probe_dma_issue_floor.py, scan-amortized, round 3).  Same
+    uniqueness / tail-padding / [lo, hi) bounds contract as
+    pallas_rows_write.
+    """
+    K = ids.shape[0]
+    assert stacked.ndim == 3 and stacked.shape[0] == 2, stacked.shape
+    assert values.shape == (2, K, stacked.shape[2]), values.shape
+    assert K % chunk == 0, (K, chunk)
+    if bounds is None:
+        if n_real is None:
+            bounds = jnp.asarray([0, K], jnp.int32)
+        else:
+            bounds = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), n_real.astype(jnp.int32)]
+            )
+    if interpret and interpret != "pallas":
+        return _reference_rows_write_dual(stacked, ids, values, bounds)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(K // chunk,),
+        in_specs=[
+            pl.BlockSpec((2, chunk, stacked.shape[2]),
+                         lambda i, ids, bounds: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        functools.partial(_write_kernel_dual, chunk),
+        out_shape=jax.ShapeDtypeStruct(stacked.shape, stacked.dtype),
+        grid_spec=grid_spec,
+        input_output_aliases={3: 0},
+        interpret=bool(interpret),
+    )(ids, bounds, values, stacked)

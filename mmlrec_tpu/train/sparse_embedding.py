@@ -58,6 +58,19 @@ class SparseAdamPackedState(NamedTuple):
     count: jnp.ndarray  # scalar int32
 
 
+class SparseAdamFoldedState(NamedTuple):
+    """Packed-moment state whose monu container is FOLDED into the table
+    leaf itself: the FusedEmbedding param is [2*Vp, W] with table rows in
+    [0, Vp) and the packed (mu, nu) container in [Vp, 2*Vp)
+    (``table_container="stacked"``).  One contiguous array lets the pallas
+    update write a touched row's table+moment pair with ONE [2, 1, 128]
+    strided DMA (8.0 vs 15.0 ns/row-pair, probe_dma_issue_floor.py), and
+    eval/predict/checkpoint paths see a normal (fat) table param whose
+    live rows are always current.  Only the step counter remains here."""
+
+    count: jnp.ndarray  # scalar int32
+
+
 def unpack_monu(container: jnp.ndarray):
     """[..., W] f32 container -> (mu, nu) bfloat16 [..., W]."""
     pairs = jax.lax.bitcast_convert_type(container, jnp.bfloat16)
@@ -391,6 +404,7 @@ def two_phase_sparse_adam_unique(
     n_real=None,  # [1] int32: pids[n_real:] are padding (kernel skips them)
     sup=None,  # [K, W] phase-1 TABLE super-rows (reused; else re-gathered)
     prep=None,  # [K] 1.0 at each PHYSICAL row's first occurrence
+    monu_gather: str = "xla",  # "xla" | "pallas": moment-container gather
 ):
     """two_phase_sparse_adam with duplicate-free big-array updates.
 
@@ -413,16 +427,35 @@ def two_phase_sparse_adam_unique(
     dim = g_rows.shape[-1]
     K = g_rows.shape[0]
     P = pack_factor
-    packed = isinstance(state, SparseAdamPackedState)
+    folded = isinstance(state, SparseAdamFoldedState)
+    packed = isinstance(state, SparseAdamPackedState) or folded
+    if folded:
+        assert use_pallas, "table_container='stacked' requires the pallas update"
+        assert table.shape[0] % 2 == 0, table.shape
+        Vp = table.shape[0] // 2
     count = state.count + 1
     t = count.astype(jnp.float32)
     mdt = jnp.bfloat16 if packed else state.mu.dtype
     g_sum = jnp.zeros_like(g_rows).at[inv].add(g_rows)
     if packed:
         # ONE gather of the f32 container rows carries both bf16 moments
-        sup_c = jnp.take(
-            state.monu, flat_ids // P if P > 1 else flat_ids, axis=0
-        )  # [K, W] f32 container
+        # (folded: the container rows live at table[Vp + gid]).  The
+        # monu_gather="pallas" routing exists for A/Bs but measured SLOWER
+        # than XLA's take (12.7 vs 8.8 ns/row scan-amortized,
+        # probe_row_gather_scan.py round 3 — XLA's 128-lane gather is
+        # already near its DMA path; only scatter/writes favor pallas), so
+        # the trainer auto-resolves it to "xla".
+        gids = flat_ids // P if P > 1 else flat_ids
+        monu_src = table if folded else state.monu
+        monu_ids = Vp + gids if folded else gids
+        if monu_gather == "pallas" and K % 256 == 0:
+            from ..ops.pallas_gather import pallas_rows_gather_hbm
+
+            sup_c = pallas_rows_gather_hbm(
+                monu_src, monu_ids.astype(jnp.int32), interpret=interpret
+            )  # [K, W] f32 container
+        else:
+            sup_c = jnp.take(monu_src, monu_ids, axis=0)  # [K, W] f32
         mu128, nu128 = unpack_monu(sup_c)  # bf16 [K, W]
         if P > 1:
             sub_m = jax.nn.one_hot(flat_ids % P, P, dtype=jnp.float32)
@@ -524,6 +557,27 @@ def two_phase_sparse_adam_unique(
                 )
                 + prep.astype(jnp.int32)[:, None] * old_ti
             )
+            if folded:
+                # same int32 fold, accumulated directly in the dual layout
+                # [2, Kp, W] (plane 0 = table, plane 1 = monu) so the
+                # write kernel issues ONE [2, 1, 128] strided DMA per
+                # touched row instead of two single-row copies
+                from ..ops.pallas_scatter import pallas_rows_write_dual
+
+                accd = jnp.zeros((2, Kp, row_width), jnp.int32).at[
+                    :, pinv
+                ].add(jnp.stack([contrib_t_i, contrib_monu_i]))
+                new_stacked = pallas_rows_write_dual(
+                    table.reshape(2, Vp, row_width),
+                    pids,
+                    jax.lax.bitcast_convert_type(accd, jnp.float32),
+                    n_real=n_real, chunk=min(chunk, Kp),
+                    interpret=interpret,
+                )
+                return (
+                    new_stacked.reshape(table.shape),
+                    SparseAdamFoldedState(count=count),
+                )
             acc2 = jnp.zeros((Kp, 2 * row_width), jnp.int32).at[pinv].add(
                 jnp.concatenate([contrib_t_i, contrib_monu_i], axis=1)
             )

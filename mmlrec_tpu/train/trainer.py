@@ -159,6 +159,16 @@ class Trainer:
                 f"{self.table_update!r}"
             )
         self._table_update_auto = self.table_update == "auto"
+        # moment-container gather routing for the two-phase unique update:
+        # "pallas" = HBM->HBM row-DMA kernel (~2.5x the XLA take on the
+        # serialized monu-gather stage, probe_row_gather_scan.py round 3);
+        # "auto" follows table_update (the same Mosaic constraints apply)
+        self.monu_gather = str(mc.extra.get("monu_gather", "auto"))
+        if self.monu_gather not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"monu_gather must be auto|xla|pallas, got "
+                f"{self.monu_gather!r}"
+            )
         if self.table_update == "auto":
             # the jax.devices() probe initializes the backend (and a failed
             # relay init is cached in-process), so it must come LAST in the
@@ -217,6 +227,41 @@ class Trainer:
                 raise ValueError(
                     "table_update='pallas' supports float32 or bfloat16 "
                     f"moment storage, got table_opt_dtype={mdt!r}"
+                )
+        if self.monu_gather == "auto":
+            # measured round 3 (probe_row_gather_scan.py + the in-step A/B):
+            # XLA's 128-lane take is FASTER than the pallas row-DMA gather
+            # (8.8 vs 12.7 ns/row scan-amortized) — only scatters/writes
+            # favor pallas on this backend.  The knob stays for A/Bs.
+            self.monu_gather = "xla"
+        # table_container="stacked": the FusedEmbedding param is [2*Vp, 128]
+        # with the packed moment container folded in as the bottom half
+        # (SparseAdamFoldedState) so the pallas update writes each touched
+        # row's table+moment pair with ONE [2, 1, 128] strided DMA
+        # (8.0 vs 15.0 ns/row-pair, probe_dma_issue_floor.py).  The model
+        # reads the same extra at construction (models/base.py), so the
+        # combo is validated here rather than resolved.
+        self.table_container = str(mc.extra.get("table_container", "split"))
+        if self.table_container not in ("split", "stacked"):
+            raise ValueError(
+                f"table_container must be split|stacked, got "
+                f"{self.table_container!r}"
+            )
+        if self.table_container == "stacked":
+            if self.table_update != "pallas":
+                raise ValueError(
+                    "table_container='stacked' requires table_update="
+                    f"'pallas' (resolved: {self.table_update!r})"
+                )
+            if not self._packed_moments:
+                raise ValueError(
+                    "table_container='stacked' requires packed bf16 "
+                    "moments (table_opt_dtype='bfloat16')"
+                )
+            if self.mesh is not None:
+                raise ValueError(
+                    "table_container='stacked' is single-device; use the "
+                    "explicit_collective_embedding split layout on a mesh"
                 )
         if self.two_phase_embedding and (
             self.is_pcgrad
@@ -563,6 +608,7 @@ class Trainer:
                 n_real=nuniq,
                 sup=sup,
                 prep=prep,
+                monu_gather=self.monu_gather,
             )
         else:
             new_table, new_table_opt = two_phase_sparse_adam(
@@ -846,7 +892,11 @@ class Trainer:
         Kp = -(-K // 256) * 256
         if self._emb_phys_rows > Kp:
             return
-        if not getattr(self, "_table_update_auto", False):
+        if not getattr(self, "_table_update_auto", False) or (
+            getattr(self, "table_container", "split") == "stacked"
+        ):
+            # a stacked container cannot demote to scatter (the moments
+            # live inside the param), so it raises even under auto
             raise ValueError(
                 f"table_update={self.table_update!r} needs the physical "
                 f"table ({self._emb_phys_rows} rows) to exceed the padded "
@@ -1153,6 +1203,15 @@ class Trainer:
             # warm moments persist across fit() calls, like opt_state above
             if prev is not None and "table_opt" in prev:
                 state["table_opt"] = prev["table_opt"]
+            elif getattr(self, "table_container", "split") == "stacked":
+                # moments live INSIDE the fat table param (bottom half,
+                # zero-initialized by FusedEmbedding.dual_init); only the
+                # step counter is separate state
+                from .sparse_embedding import SparseAdamFoldedState
+
+                state["table_opt"] = SparseAdamFoldedState(
+                    count=jnp.zeros((), jnp.int32)
+                )
             else:
                 state["table_opt"] = init_sparse_adam(
                     params["embeddings"]["fused"]["table"],

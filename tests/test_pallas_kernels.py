@@ -234,3 +234,23 @@ def test_rows_kernels_reference_path_matches_interpreter():
                            interpret=True, **kwu)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_pallas_rows_gather_hbm_reference_matches_interpreter():
+    """pallas_rows_gather_hbm: interpret=True (pure-JAX jnp.take reference)
+    == interpret="pallas" (genuine pallas interpreter), duplicates
+    included — the monu-gather routing of the two-phase unique update."""
+    from mmlrec_tpu.ops.pallas_gather import pallas_rows_gather_hbm
+
+    V, D, K = 64, 128, 16
+    rng = np.random.RandomState(7)
+    ids = jnp.asarray(
+        rng.choice(V, size=K, replace=True).astype(np.int32)  # dups OK
+    )
+    table = jnp.asarray(rng.rand(V, D).astype(np.float32))
+    ref = pallas_rows_gather_hbm(table, ids, chunk=8, interpret=True)
+    got = pallas_rows_gather_hbm(table, ids, chunk=8, interpret="pallas")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    np.testing.assert_array_equal(
+        np.asarray(ref), np.asarray(jnp.take(table, ids, axis=0))
+    )

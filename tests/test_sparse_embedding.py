@@ -552,3 +552,80 @@ def test_checkpoint_table_opt_layout_portable(tmp_path):
     back = to_runtime_state(split, packed=True)
     np.testing.assert_array_equal(
         np.asarray(back.monu), np.asarray(tr._train_state["table_opt"].monu))
+
+
+def test_two_phase_unique_monu_gather_pallas_matches_xla():
+    """monu_gather='pallas' (HBM row-DMA kernel, genuine interpreter)
+    reproduces the XLA take bitwise inside the packed two-phase update.
+    K=256 so the kernel's K %% 256 == 0 routing constraint is met."""
+    from mmlrec_tpu.train.sparse_embedding import (
+        batch_step_metadata,
+        two_phase_sparse_adam_unique,
+    )
+
+    V, D, P, K = 1024, 4, 2, 256
+    rng = np.random.default_rng(5)
+    packed = jnp.asarray(rng.normal(size=(V // P, P * D)), jnp.float32)
+    flat_ids = rng.integers(0, 64, K).astype(np.int64)  # heavy duplicates
+    g_rows = jnp.asarray(rng.normal(size=(K, D)), jnp.float32)
+    inv, rep, pids, pinv, nuniq, prep = batch_step_metadata(
+        flat_ids[None, :], P, V // P, chunk=8)
+    state0 = init_sparse_adam(packed, dtype=jnp.bfloat16, packed=True)
+    # one warm step so monu is non-zero (the gather has real payloads)
+    args = (jnp.asarray(flat_ids, jnp.int32), jnp.asarray(inv[0]),
+            jnp.asarray(rep[0]), jnp.asarray(pids[0]), jnp.asarray(pinv[0]))
+    kw = dict(lr=0.05, pack_factor=P, use_pallas=True,
+              n_real=jnp.asarray(nuniq[0]), prep=jnp.asarray(prep[0]))
+    t1, s1 = two_phase_sparse_adam_unique(
+        packed, g_rows, *args, state0, interpret=True, **kw)
+    # xla column rides the pure-JAX reference path (pinned equal to the
+    # genuine interpreter elsewhere) so only ONE slow interpreted write
+    # kernel runs; the pallas column interprets the gather for real
+    outs = {
+        "xla": two_phase_sparse_adam_unique(
+            t1, g_rows, *args, s1, interpret=True, monu_gather="xla", **kw),
+        "pallas": two_phase_sparse_adam_unique(
+            t1, g_rows, *args, s1, interpret="pallas", monu_gather="pallas",
+            **kw),
+    }
+    np.testing.assert_array_equal(
+        np.asarray(outs["pallas"][0]), np.asarray(outs["xla"][0]))
+    np.testing.assert_array_equal(
+        np.asarray(outs["pallas"][1].monu), np.asarray(outs["xla"][1].monu))
+
+
+def test_trainer_table_container_stacked_matches_split():
+    """table_container='stacked' (moment container folded into a [2Vp, W]
+    table param + dual strided-write kernel) reproduces the split pallas
+    path bitwise: top half == split table, bottom half == split monu."""
+    from mmlrec_tpu.train.sparse_embedding import SparseAdamFoldedState
+
+    kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+              n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,), epochs=2,
+              batch_size=64, lr=3e-3, two_phase_embedding=True, vocab=400,
+              table_update="pallas", table_opt_dtype="bfloat16")
+    outs = {}
+    for container in ("split", "stacked"):
+        cfg = make_config(**kw, table_container=container)
+        layout, x, y, _ = make_data(cfg, n=320, seed=0, vocab=400)
+        model = get_model("sharedbottom", layout, cfg)
+        tr = Trainer(model, seed=0).compile()
+        tr.fit(x, y, batch_size=64, epochs=2, verbose=0)
+        outs[container] = tr
+    split_t = np.asarray(
+        outs["split"].variables["params"]["embeddings"]["fused"]["table"])
+    split_monu = np.asarray(outs["split"]._train_state["table_opt"].monu)
+    fat = np.asarray(
+        outs["stacked"].variables["params"]["embeddings"]["fused"]["table"])
+    assert isinstance(
+        outs["stacked"]._train_state["table_opt"], SparseAdamFoldedState)
+    Vp = fat.shape[0] // 2
+    assert Vp == split_t.shape[0]
+    np.testing.assert_array_equal(fat[:Vp], split_t)
+    np.testing.assert_array_equal(fat[Vp:], split_monu)
+    # predictions from the fat leaf match the split model's
+    cfg = make_config(**kw, table_container="split")
+    layout, x, y, _ = make_data(cfg, n=320, seed=0, vocab=400)
+    p1 = np.asarray(outs["split"].predict(x, 64))
+    p2 = np.asarray(outs["stacked"].predict(x, 64))
+    np.testing.assert_array_equal(p1, p2)
