@@ -218,10 +218,14 @@ class FusedEmbedding(nn.Module):
             # test-size tables run the interpret reference path.
 
             def dual_init(key, s, dtype=jnp.float32):
+                # write the (bitwise split-identical) table draw into the
+                # zeroed fat buffer in place: dynamic_update_slice lets XLA
+                # alias the zeros and fuse the normal producer, keeping
+                # peak HBM at ~the fat buffer (a concat holds fat + both
+                # halves live — OOM at 40M x 32 on 16 GB chips)
                 half = (s[0] // 2, s[1])
-                return jnp.concatenate(
-                    [base_init(key, half, dtype),
-                     jnp.zeros(half, dtype)], axis=0)
+                return jax.lax.dynamic_update_slice(
+                    jnp.zeros(s, dtype), base_init(key, half, dtype), (0, 0))
 
             self.table = self.param(
                 "table", dual_init, (2 * shape[0], shape[1]))

@@ -74,6 +74,9 @@ class Trainer:
         self._save_layer_output = False
         self._step_fns: Dict[Tuple, Any] = {}
         self.history: List[Dict[str, float]] = []
+        # per-epoch list of per-batch train-metric dicts, filled only when
+        # model_config.extra["batch_metric_curves"] is set (see fit())
+        self.batch_history: List[List[Dict[str, float]]] = []
         self.throughput_examples_per_s: Optional[float] = None
 
         mc = self.cfg.model_config
@@ -1356,6 +1359,9 @@ class Trainer:
             total_loss_epoch = 0.0
             epoch_probs: List[np.ndarray] = []
             epoch_y: List[np.ndarray] = []
+            # (rows_in_concat, valid_rows) per train step, for the opt-in
+            # per-batch metric curves (reference basemodel.py:316-331)
+            epoch_spans: List[Tuple[int, int]] = []
 
             steps_this_epoch = steps_per_epoch
             if max_steps:
@@ -1416,6 +1422,10 @@ class Trainer:
                         .reshape(-1)[valid]
                     )
                     take = int(valid.sum())
+                    epoch_spans += [
+                        (int(c), int(c))
+                        for c in block_w[batch_order].sum(axis=1)
+                    ]
                 else:
                     if fs_pool is not None:
                         if fs_future is None:
@@ -1480,6 +1490,10 @@ class Trainer:
                                 prob_refs.append(probs)
                     valid = None
                     host_rows = idx_full[:take]
+                    epoch_spans += [
+                        (min(batch_size, take - s * batch_size),) * 2
+                        for s in range(steps_this_epoch)
+                    ]
 
                 total_steps += steps_this_epoch
                 examples_seen += take
@@ -1548,6 +1562,9 @@ class Trainer:
                         if self.metric_fns:
                             epoch_probs.append(np.asarray(probs))
                             epoch_y.append(y[idx])
+                            # pads sit at the batch tail (weight zeroed)
+                            epoch_spans.append(
+                                (len(weight), int(weight.sum())))
                         total_loss_epoch += float(total_loss)
 
             jax.block_until_ready(state["params"])
@@ -1567,6 +1584,31 @@ class Trainer:
                         self.metric_fns, y_all, probs_all, self.task_name, self.num_domains
                     )
                 )
+                if self.cfg.model_config.extra.get("batch_metric_curves"):
+                    # opt-in per-batch in-training metric curves (reference
+                    # model/basemodel.py:316-331 computes train metrics on
+                    # every batch and epoch-averages them; its per-batch
+                    # host sync is that code's main throughput sink — here
+                    # the same curve falls out of the probs the epoch
+                    # already collected, with zero extra device work).
+                    curve: List[Dict[str, float]] = []
+                    pos = 0
+                    for full, valid_n in epoch_spans:
+                        pb = probs_all[pos:pos + valid_n]
+                        yb = y_all[pos:pos + valid_n]
+                        pos += full
+                        if valid_n > 0:
+                            curve.append(regime_eval(
+                                self.metric_fns, yb, pb,
+                                self.task_name, self.num_domains))
+                    self.batch_history.append(curve)
+                    if curve:
+                        # the reference's epoch "train metric" is the MEAN
+                        # over per-batch values, not the pooled epoch
+                        # metric — expose it alongside under batch_mean_*
+                        for k in curve[0]:
+                            logs[f"batch_mean_{k}"] = float(
+                                np.mean([c[k] for c in curve]))
 
             self.variables = {
                 "params": state["params"],
@@ -1816,6 +1858,7 @@ class Trainer:
         self.variables = None
         self.best_variables = None
         self.history = []
+        self.batch_history = []
         self.throughput_examples_per_s = None
         for attr in ("_train_state", "_staged_eval_cache"):
             if hasattr(self, attr):

@@ -218,3 +218,47 @@ def test_streaming_prefetch_matches_synchronous():
         tables[depth] = np.asarray(
             tr.variables["params"]["embeddings"]["fused"]["table"])
     np.testing.assert_array_equal(tables[3], tables[1])
+
+
+def test_batch_metric_curves_opt_in():
+    """batch_metric_curves=True records the reference's per-batch train
+    metric curve (model/basemodel.py:316-331) from the probs the epoch
+    already collects — staged, block-shuffle, and streaming paths."""
+    from mmlrec_tpu.synthetic import make_config, make_data
+    from mmlrec_tpu.models import get_model
+
+    kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+              n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,), epochs=2,
+              batch_size=64, lr=3e-3, batch_metric_curves=True)
+    for mode_kw, fit_kw in (
+        ({}, {}),                                   # device-staged
+        ({}, {"shuffle": "block"}),                 # staged block mode
+        ({"two_phase_embedding": True}, {}),        # staged two-phase
+        ({"streaming": True}, {}),                  # per-batch streaming
+    ):
+        mode_kw = dict(mode_kw)
+        streaming = mode_kw.pop("streaming", False)
+        cfg = make_config(**kw, **mode_kw)
+        layout, x, y, _ = make_data(cfg, n=200, seed=0)  # 4 batches160+40pad
+        model = get_model("sharedbottom", layout, cfg)
+        tr = Trainer(model, seed=0).compile(metrics=["auc"])
+        if streaming:
+            tr._device_data_bytes_cap = 0  # force the streaming path
+        tr.fit(x, y, batch_size=64, epochs=2, verbose=0, **fit_kw)
+        assert len(tr.batch_history) == 2
+        for curve in tr.batch_history:
+            assert len(curve) == 4  # ceil(200/64)
+            for c in curve:
+                assert "auc" in c and np.isfinite(c["auc"])
+        assert "batch_mean_auc" in tr.history[-1]
+        # epoch batch-mean is the mean of the curve (reference semantics)
+        want = float(np.mean([c["auc"] for c in tr.batch_history[-1]]))
+        assert abs(tr.history[-1]["batch_mean_auc"] - want) < 1e-12
+
+    # single-batch dataset: per-batch metric == pooled epoch metric
+    cfg = make_config(**kw)
+    layout, x, y, _ = make_data(cfg, n=64, seed=0)
+    model = get_model("sharedbottom", layout, cfg)
+    tr = Trainer(model, seed=0).compile(metrics=["auc"])
+    tr.fit(x, y, batch_size=64, epochs=1, verbose=0)
+    assert abs(tr.batch_history[0][0]["auc"] - tr.history[0]["auc"]) < 1e-12
