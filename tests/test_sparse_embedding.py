@@ -629,3 +629,31 @@ def test_trainer_table_container_stacked_matches_split():
     p1 = np.asarray(outs["split"].predict(x, 64))
     p2 = np.asarray(outs["stacked"].predict(x, 64))
     np.testing.assert_array_equal(p1, p2)
+
+
+def test_stacked_container_checkpoint_resume(tmp_path):
+    """A stacked-container run checkpoints (moments ride inside the fat
+    params leaf) and resumes into another stacked trainer with identical
+    continued training vs an uninterrupted run."""
+    kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+              n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,), epochs=2,
+              batch_size=64, lr=3e-3, two_phase_embedding=True, vocab=400,
+              table_update="pallas", table_opt_dtype="bfloat16",
+              table_container="stacked")
+    cfg = make_config(**kw)
+    layout, x, y, _ = make_data(cfg, n=256, seed=0, vocab=400)
+
+    # uninterrupted 2-epoch run (no shuffle so the resumed rng stream
+    # does not need replaying)
+    tr_full = Trainer(get_model("sharedbottom", layout, cfg), seed=0).compile()
+    tr_full.fit(x, y, batch_size=64, epochs=2, shuffle=False, verbose=0)
+
+    tr1 = Trainer(get_model("sharedbottom", layout, cfg), seed=0).compile()
+    tr1.fit(x, y, batch_size=64, epochs=1, shuffle=False, verbose=0)
+    path = tr1.save_training_state(str(tmp_path))
+    tr2 = Trainer(get_model("sharedbottom", layout, cfg), seed=0).compile()
+    tr2.fit(x, y, batch_size=64, epochs=2, shuffle=False, verbose=0,
+            resume_from=path)
+    a = np.asarray(tr_full.variables["params"]["embeddings"]["fused"]["table"])
+    b = np.asarray(tr2.variables["params"]["embeddings"]["fused"]["table"])
+    np.testing.assert_array_equal(a, b)
