@@ -122,6 +122,29 @@ def save_serving_bundle(
     mc = trainer.cfg.model_config
     dc = trainer.cfg.data_config
     model = trainer.model
+    if getattr(trainer, "table_container", "split") == "stacked":
+        # the stacked training container carries the optimizer's moment
+        # rows in the bottom half of the fat [2Vp, 128] table param
+        # (train/sparse_embedding.py SparseAdamFoldedState) — serving must
+        # not ship them.  Re-express the model in the split layout and
+        # slice the table half out; inference math is identical (gathers
+        # only ever touch rows < Vp).
+        import copy as _copy
+
+        from .models import get_model
+
+        cfg2 = _copy.deepcopy(trainer.cfg)
+        cfg2.model_config.extra["table_container"] = "split"
+        model = get_model(cfg2.model_config.model_name, trainer.layout, cfg2)
+        emb = dict(variables["params"]["embeddings"])
+        fused = dict(emb["fused"])
+        fat = fused["table"]
+        fused["table"] = fat[: fat.shape[0] // 2]
+        emb["fused"] = fused
+        variables = {
+            **variables,
+            "params": {**variables["params"], "embeddings": emb},
+        }
     escm = trainer.model_name in ("escm", "escm_dr")
     needs_mask = bool(mc.masked_loss) and trainer.task_name in ("msl", "mtmsl")
 

@@ -126,3 +126,31 @@ def test_bundle_two_phase_packed_table(tmp_path):
     np.testing.assert_allclose(
         bundle.predict(x), tr.predict(x, batch_size=64), atol=1e-6
     )
+
+
+def test_bundle_stacked_container_strips_moments(tmp_path):
+    """A stacked-container-trained model (fat [2Vp, 128] param carrying
+    the optimizer moment rows) exports a SPLIT-layout bundle — moments are
+    stripped, the artifact is half the size, predictions identical."""
+    vocab = 1 << 16
+    cfg = make_config(
+        task_name="mtl", model_name="mmoe", emb=4, n_sparse=4, n_dense=2,
+        vocab=vocab, hidden=(16, 8), tower=(8,), gate=(8,), batch_size=64,
+        two_phase_embedding=True, table_update="pallas",
+        table_opt_dtype="bfloat16", table_container="stacked",
+    )
+    layout, x, y, _ = make_data(cfg, n=256, vocab=vocab, seed=0)
+    model = get_model("mmoe", layout, cfg)
+    tr = Trainer(model, seed=0).compile(metrics=["auc"])
+    tr.fit(x, y, batch_size=64, epochs=1, verbose=0)
+    fat = tr.variables["params"]["embeddings"]["fused"]["table"]
+
+    save_serving_bundle(tr, str(tmp_path), platforms=["cpu"])
+    bundle = ServingBundle.load(str(tmp_path))
+    served = bundle.variables["params"]["embeddings"]["fused"]["table"]
+    assert served.shape[0] * 2 == fat.shape[0]
+    np.testing.assert_array_equal(
+        np.asarray(served), np.asarray(fat[: fat.shape[0] // 2]))
+    np.testing.assert_allclose(
+        bundle.predict(x), tr.predict(x, batch_size=64), atol=1e-6
+    )
