@@ -63,6 +63,9 @@ def run(mode: str, vocab_per_feature: int = VOCAB, n_sparse: int = 16,
     # param ([2Vp, 128]) for single-strided-DMA dual row writes
     if os.environ.get("TABLE_CONTAINER"):
         kw["table_container"] = os.environ["TABLE_CONTAINER"]
+    # DEDUP_ROUTE=scatter|gather pins the unique-slot accumulation route
+    if os.environ.get("DEDUP_ROUTE"):
+        kw["dedup_route"] = os.environ["DEDUP_ROUTE"]
     cfg = make_config(**kw)
     cols = [SparseFeat(f"s{i}", vocab_per_feature, emb_dim)
             for i in range(n_sparse)] + [DenseFeat(f"d{i}", 1) for i in range(4)]

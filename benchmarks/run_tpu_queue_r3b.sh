@@ -26,5 +26,8 @@ print(float(np.asarray((jnp.ones((64,64))@jnp.ones((64,64))).ravel()[0])))
 MOMENT_DTYPE=bfloat16 SCAN_STEPS=16 run ab_split python benchmarks/bench_40m_table_update.py pallas
 MOMENT_DTYPE=bfloat16 SCAN_STEPS=16 TABLE_CONTAINER=stacked run ab_stacked python benchmarks/bench_40m_table_update.py pallas
 run scatter_scan python benchmarks/probe_scatter_scan.py
+# floor share at 10 GB state is ~0.39 ms/step under scan16 — scan32 halves it
+MOMENT_DTYPE=bfloat16 SCAN_STEPS=32 run ab_stacked32 python benchmarks/bench_40m_table_update.py pallas
+MOMENT_DTYPE=bfloat16 SCAN_STEPS=16 ZIPF=1.1 TABLE_CONTAINER=stacked run ab_stacked_zipf python benchmarks/bench_40m_table_update.py pallas
 run headline python bench.py
 echo "=== round-3b queue done ==="

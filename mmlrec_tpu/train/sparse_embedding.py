@@ -202,6 +202,7 @@ def batch_step_metadata(
     pack_factor: int | None = None,
     n_phys_rows: int | None = None,
     chunk: int = 256,
+    want_route: bool = False,
 ):
     """All host-side per-batch metadata from ONE batched argsort.
 
@@ -213,6 +214,19 @@ def batch_step_metadata(
     element of each equal-value run is the first occurrence, and the sorted
     physical ids (flat // P, monotone under sort) yield the unique-physical
     slots as their run index.
+
+    ``want_route=True`` additionally returns the GATHER-ROUTE dedup
+    metadata (accperm [steps, Kp], resid_pos / resid_slot [steps, R_cap]):
+    the device-side accumulation ``zeros[Kp].at[pinv].add(contrib)`` is,
+    per slot, ONE designated contributor plus rare residuals, so it can be
+    computed as ``contrib[accperm]`` (an 8.8 ns/row gather on this backend,
+    probe_row_gather_scan.py) plus a small residual scatter-add — bitwise
+    identical (int32 payload adds commute) and strictly cheaper than the
+    full XLA scatter whenever duplicates are a minority.  accperm[i] is the
+    original position of slot i's first physical contributor (pads -> 0,
+    skipped by the kernel's n_real); resid holds every other contributor's
+    (position, slot), padded to R_cap (shared across the call's batches,
+    rounded to a multiple of 256) with (0, Kp) — slot Kp drops.
     """
     steps, K = flat_ids.shape
     flat = flat_ids.astype(np.int64)
@@ -248,6 +262,12 @@ def batch_step_metadata(
         pinv = np.empty((steps, K), np.int32)
         nuniq = np.empty((steps, 1), np.int32)
         prep = np.empty((steps, K), np.float32)
+        if want_route:
+            n_resid = (K - pnew.sum(axis=1)).astype(np.int64)
+            R_cap = max(256, -(-int(n_resid.max(initial=0)) // 256) * 256)
+            accperm = np.zeros((steps, Kp), np.int32)
+            resid_pos = np.zeros((steps, R_cap), np.int32)
+            resid_slot = np.full((steps, R_cap), Kp, np.int32)  # Kp = drop
     grp_all = np.cumsum(newv, axis=1, dtype=np.int32) - 1
     for b in range(steps):
         ob, nb = order[b], newv[b]
@@ -262,6 +282,12 @@ def batch_step_metadata(
             pinv[b, ob] = pgrp[b]
             prep[b, ob] = pnew[b]
             nuniq[b, 0] = U
+            if want_route:
+                accperm[b, :U] = ob[pnew[b]]
+                nb_res = ~pnew[b]
+                R = int(nb_res.sum())
+                resid_pos[b, :R] = ob[nb_res]
+                resid_slot[b, :R] = pgrp[b][nb_res]
             if U < Kp:
                 # distinct untouched rows at the TAIL (see
                 # batch_phys_metadata): the first non-members of u in
@@ -271,6 +297,8 @@ def batch_step_metadata(
                 present[u[u <= Kp]] = True
                 pids[b, U:] = np.flatnonzero(~present)[: Kp - U]
     if want_phys:
+        if want_route:
+            return inv, rep, pids, pinv, nuniq, prep, accperm, resid_pos, resid_slot
         return inv, rep, pids, pinv, nuniq, prep
     return inv, rep
 
@@ -405,6 +433,9 @@ def two_phase_sparse_adam_unique(
     sup=None,  # [K, W] phase-1 TABLE super-rows (reused; else re-gathered)
     prep=None,  # [K] 1.0 at each PHYSICAL row's first occurrence
     monu_gather: str = "xla",  # "xla" | "pallas": moment-container gather
+    accperm=None,  # [Kp] gather-route dedup (batch_step_metadata want_route)
+    resid_pos=None,  # [R_cap] residual contributor positions
+    resid_slot=None,  # [R_cap] residual target slots (Kp = drop)
 ):
     """two_phase_sparse_adam with duplicate-free big-array updates.
 
@@ -564,9 +595,18 @@ def two_phase_sparse_adam_unique(
                 # touched row instead of two single-row copies
                 from ..ops.pallas_scatter import pallas_rows_write_dual
 
-                accd = jnp.zeros((2, Kp, row_width), jnp.int32).at[
-                    :, pinv
-                ].add(jnp.stack([contrib_t_i, contrib_monu_i]))
+                cont2 = jnp.stack([contrib_t_i, contrib_monu_i])
+                if accperm is not None:
+                    # gather-route dedup: one designated contributor per
+                    # slot via gather + a small residual scatter-add —
+                    # bitwise equal (int32 adds commute), cheaper than the
+                    # full scatter whenever duplicates are a minority
+                    accd = cont2[:, accperm].at[:, resid_slot].add(
+                        cont2[:, resid_pos], mode="drop")
+                else:
+                    accd = jnp.zeros((2, Kp, row_width), jnp.int32).at[
+                        :, pinv
+                    ].add(cont2)
                 new_stacked = pallas_rows_write_dual(
                     table.reshape(2, Vp, row_width),
                     pids,
@@ -578,9 +618,13 @@ def two_phase_sparse_adam_unique(
                     new_stacked.reshape(table.shape),
                     SparseAdamFoldedState(count=count),
                 )
-            acc2 = jnp.zeros((Kp, 2 * row_width), jnp.int32).at[pinv].add(
-                jnp.concatenate([contrib_t_i, contrib_monu_i], axis=1)
-            )
+            cont2w = jnp.concatenate([contrib_t_i, contrib_monu_i], axis=1)
+            if accperm is not None:
+                acc2 = cont2w[accperm].at[resid_slot].add(
+                    cont2w[resid_pos], mode="drop")
+            else:
+                acc2 = jnp.zeros(
+                    (Kp, 2 * row_width), jnp.int32).at[pinv].add(cont2w)
             acc_t = jax.lax.bitcast_convert_type(
                 acc2[:, :row_width], jnp.float32
             )

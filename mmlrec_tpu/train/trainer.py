@@ -231,6 +231,38 @@ class Trainer:
                     "table_update='pallas' supports float32 or bfloat16 "
                     f"moment storage, got table_opt_dtype={mdt!r}"
                 )
+        # dedup_route="gather": compute the unique-slot accumulation as a
+        # designated-contributor gather + small residual scatter instead of
+        # the full [Kp, 2W] scatter (bitwise equal — int32 payload adds
+        # commute; gathers are 8.8 ns/row vs scatter's per-op cost on this
+        # backend).  Only the packed pallas update has the int32 merged
+        # accumulation this rewrites; the explicit-collective mesh step
+        # keeps its own shard-local scatter.
+        self.dedup_route = str(mc.extra.get("dedup_route", "auto"))
+        if self.dedup_route not in ("auto", "scatter", "gather"):
+            raise ValueError(
+                f"dedup_route must be auto|scatter|gather, got "
+                f"{self.dedup_route!r}"
+            )
+        if self.dedup_route == "auto":
+            self.dedup_route = (
+                "gather"
+                if (
+                    self.table_update == "pallas"
+                    and getattr(self, "_packed_moments", False)
+                    and not mc.extra.get("explicit_collective_embedding")
+                )
+                else "scatter"
+            )
+        elif self.dedup_route == "gather" and not (
+            self.table_update == "pallas"
+            and getattr(self, "_packed_moments", False)
+            and not mc.extra.get("explicit_collective_embedding")
+        ):
+            raise ValueError(
+                "dedup_route='gather' requires table_update='pallas' with "
+                "packed bf16 moments on the non-explicit-collective path"
+            )
         if self.monu_gather == "auto":
             # measured round 3 (probe_row_gather_scan.py + the in-step A/B):
             # XLA's 128-lane take is FASTER than the pallas row-DMA gather
@@ -595,6 +627,11 @@ class Trainer:
 
             pids, pinv, nuniq, prep = (
                 batch[7], batch[8], batch[9], batch[10])
+            route = (
+                dict(accperm=batch[11], resid_pos=batch[12],
+                     resid_slot=batch[13])
+                if len(batch) > 11 else {}
+            )
             new_table, new_table_opt = two_phase_sparse_adam_unique(
                 table,
                 g_rows.reshape(B * F, self._emb_dim),
@@ -612,6 +649,7 @@ class Trainer:
                 sup=sup,
                 prep=prep,
                 monu_gather=self.monu_gather,
+                **route,
             )
         else:
             new_table, new_table_opt = two_phase_sparse_adam(
@@ -945,7 +983,8 @@ class Trainer:
         if self.table_update == "scatter":
             return batch_step_metadata(flat)
         return batch_step_metadata(
-            flat, self._emb_pack_factor, self._emb_phys_rows
+            flat, self._emb_pack_factor, self._emb_phys_rows,
+            want_route=getattr(self, "dedup_route", "scatter") == "gather",
         )
 
     def _slice_dedup(self, dedup2d, s):

@@ -657,3 +657,27 @@ def test_stacked_container_checkpoint_resume(tmp_path):
     a = np.asarray(tr_full.variables["params"]["embeddings"]["fused"]["table"])
     b = np.asarray(tr2.variables["params"]["embeddings"]["fused"]["table"])
     np.testing.assert_array_equal(a, b)
+
+
+def test_dedup_route_gather_matches_scatter():
+    """dedup_route='gather' (designated-contributor gather + residual
+    scatter) reproduces the full-scatter accumulation BITWISE on both the
+    split-packed and stacked-container pallas paths, duplicates included."""
+    kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+              n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,), epochs=2,
+              batch_size=64, lr=3e-3, two_phase_embedding=True, vocab=80,
+              table_update="pallas", table_opt_dtype="bfloat16")
+    for container in ("split", "stacked"):
+        tables = {}
+        for route in ("scatter", "gather"):
+            cfg = make_config(**kw, table_container=container,
+                              dedup_route=route)
+            # small vocab -> heavy duplicate ids within every batch
+            layout, x, y, _ = make_data(cfg, n=320, seed=0, vocab=80)
+            model = get_model("sharedbottom", layout, cfg)
+            tr = Trainer(model, seed=0).compile()
+            assert tr.dedup_route == route
+            tr.fit(x, y, batch_size=64, epochs=2, verbose=0)
+            tables[route] = np.asarray(
+                tr.variables["params"]["embeddings"]["fused"]["table"])
+        np.testing.assert_array_equal(tables["gather"], tables["scatter"])
