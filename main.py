@@ -30,7 +30,7 @@ if os.environ.get("MMLREC_PLATFORM"):
 
 from mmlrec_tpu.config import ExperimentConfig
 from mmlrec_tpu.models import get_model
-from mmlrec_tpu.train import Trainer
+from mmlrec_tpu.train import Trainer, resolve_table_container
 from mmlrec_tpu.train.metrics import masked_test_metrics
 from mmlrec_tpu.utils import append_result_row, set_seed
 
@@ -127,6 +127,10 @@ def main():
         print(cfg.to_dict())
 
         ds = load_dataset(cfg, args)
+        # production default: stacked table+moment container whenever the
+        # pallas update will engage (1.33x at 40M x 32; explicit
+        # table_container in the config always wins)
+        resolve_table_container(cfg, ds.layout, mesh=mesh)
         model = get_model(mc.model_name, ds.layout, cfg)
         trainer = Trainer(model, seed=seed, mesh=mesh).compile(
             optimizer=oc.optimizer, loss=oc.loss, metrics=oc.metrics

@@ -4,7 +4,7 @@ from .multi_seed import SeedSuiteTrainer
 from .optimizers import get_optimizer
 from .pcgrad import pcgrad_merge
 from .sweep import GridSweepTrainer
-from .trainer import Trainer, get_mask
+from .trainer import Trainer, get_mask, resolve_table_container
 
 __all__ = [
     "GridSweepTrainer",
@@ -20,4 +20,5 @@ __all__ = [
     "multitask_loss",
     "pcgrad_merge",
     "regime_eval",
+    "resolve_table_container",
 ]

@@ -42,6 +42,55 @@ from .optimizers import get_optimizer
 from .pcgrad import pcgrad_merge
 
 
+def resolve_table_container(cfg, layout, mesh=None) -> None:
+    """Opt INTO ``table_container="stacked"`` when the pallas table update
+    will engage, BEFORE the model is built.
+
+    The stacked container must be decided at model-construction time (the
+    FusedEmbedding param shape depends on it, models/base.py), but whether
+    the pallas update engages is a Trainer-time platform decision — so
+    experiment drivers that build model+trainer together (main.py) call
+    this on the config first.  Mirrors the Trainer's auto conditions:
+    two_phase + pallas-eligible 128-lane rows + packed bf16 moments + no
+    mesh + real TPU + the unique-metadata headroom (phys rows > Kp at the
+    configured batch size).  A user-set ``table_container`` always wins.
+    Measured: the stacked dual-write + gather-route step is 1.33x the
+    split path at 40M x 32 (docs/perf_notes.md round-3 ladder).
+    """
+    mc = cfg.model_config
+    if mc.extra.get("table_container") is not None:
+        return
+    if not (
+        mc.extra.get("two_phase_embedding")
+        and str(mc.extra.get("table_update", "auto")) in ("auto", "pallas")
+        and str(mc.extra.get("table_opt_dtype") or "") == "bfloat16"
+        and mesh is None
+        and not mc.extra.get("explicit_collective_embedding")
+    ):
+        return
+    from ..ops.embedding import pack_factor_for
+
+    sparse_dims = {
+        s.feature.embedding_dim for s in layout.sparse_slots
+    }
+    if len(sparse_dims) != 1:
+        return
+    dim = sparse_dims.pop()
+    total = int(sum(s.feature.vocabulary_size for s in layout.sparse_slots))
+    P = pack_factor_for(total, dim)
+    if dim * P != 128:
+        return
+    rows = -(-max(total, 1) // 128) * 128
+    if P > 1:
+        rows = -(-rows // (P * 128)) * (P * 128)
+    K = cfg.training_config.train_batch_size * len(layout.sparse_slots)
+    if rows // P <= -(-K // 256) * 256:
+        return
+    if jax.devices()[0].platform == "cpu":
+        return
+    mc.extra["table_container"] = "stacked"
+
+
 def get_mask(domain_values, mask_values, num_domains) -> np.ndarray:
     """[B] domain column -> one-hot [B, num_domains]
     (reference model/utils.py:639-645)."""

@@ -681,3 +681,57 @@ def test_dedup_route_gather_matches_scatter():
             tables[route] = np.asarray(
                 tr.variables["params"]["embeddings"]["fused"]["table"])
         np.testing.assert_array_equal(tables["gather"], tables["scatter"])
+
+
+def test_resolve_table_container(monkeypatch):
+    """main.py's pre-model-build auto opt-in to the stacked container:
+    engages only for two_phase + pallas-eligible + bf16 + headroom + TPU
+    (platform mocked); never overrides an explicit setting."""
+    from mmlrec_tpu.train import resolve_table_container
+
+    def cfg_layout(**kw):
+        base = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+                    n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,),
+                    batch_size=64, vocab=70000)
+        base.update(kw)
+        vocab = base.pop("vocab")
+        cfg = make_config(**base)
+        layout, *_ = make_data(cfg, n=8, seed=0, vocab=vocab)
+        return cfg, layout
+
+    class _Dev:
+        platform = "tpu"
+
+    # positive: all conditions hold (mocked TPU)
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [_Dev()])
+    cfg, layout = cfg_layout(two_phase_embedding=True,
+                             table_opt_dtype="bfloat16")
+    resolve_table_container(cfg, layout)
+    assert cfg.model_config.extra["table_container"] == "stacked"
+
+    # explicit user setting wins
+    cfg, layout = cfg_layout(two_phase_embedding=True,
+                             table_opt_dtype="bfloat16",
+                             table_container="split")
+    resolve_table_container(cfg, layout)
+    assert cfg.model_config.extra["table_container"] == "split"
+
+    # each missing condition keeps it unset
+    for kw in (dict(),                                  # no two_phase
+               dict(two_phase_embedding=True),          # f32 moments
+               dict(two_phase_embedding=True,
+                    table_opt_dtype="bfloat16",
+                    table_update="scatter"),            # scatter pinned
+               dict(two_phase_embedding=True,
+                    table_opt_dtype="bfloat16",
+                    vocab=40)):                         # no headroom
+        cfg, layout = cfg_layout(**kw)
+        resolve_table_container(cfg, layout)
+        assert cfg.model_config.extra.get("table_container") is None, kw
+
+    # CPU platform -> no-op
+    monkeypatch.undo()
+    cfg, layout = cfg_layout(two_phase_embedding=True,
+                             table_opt_dtype="bfloat16")
+    resolve_table_container(cfg, layout)
+    assert cfg.model_config.extra.get("table_container") is None
