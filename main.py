@@ -131,6 +131,8 @@ def main():
         # pallas update will engage (1.33x at 40M x 32; explicit
         # table_container in the config always wins)
         resolve_table_container(cfg, ds.layout, mesh=mesh)
+        if mc.extra.get("table_container") == "stacked":
+            print("table_container: stacked (auto — pallas dual-write path)")
         model = get_model(mc.model_name, ds.layout, cfg)
         trainer = Trainer(model, seed=seed, mesh=mesh).compile(
             optimizer=oc.optimizer, loss=oc.loss, metrics=oc.metrics
