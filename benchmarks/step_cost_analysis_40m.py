@@ -101,6 +101,37 @@ def main(n_sparse=16, emb_dim=32, batch_size=4096):
     flops = float(ca.get("flops", 0.0))
     bytes_acc = float(ca.get("bytes accessed", 0.0))
 
+    if os.environ.get("HLO_BUFFERS"):
+        # tally the optimized (post-fusion) HLO's materialized buffers so
+        # byte-reduction work targets real allocations, not guesses
+        import collections
+        import re
+
+        txt = compiled.as_text()
+        sizes = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "s8": 1,
+                 "pred": 1, "f16": 2, "s64": 8, "u8": 1}
+        tally = collections.Counter()
+        for m in re.finditer(
+            r"^\s*(?:ROOT\s+)?%?[\w.\-]+ = (\w+)\[([\d,]*)\][^=]*? (\w+)\(",
+            txt, re.M,
+        ):
+            dt, shape, op = m.group(1), m.group(2), m.group(3)
+            if op in ("parameter", "constant", "get-tuple-element",
+                      "tuple", "bitcast"):
+                continue
+            if dt not in sizes or not shape:
+                continue
+            n = 1
+            for d in shape.split(","):
+                n *= int(d)
+            b = n * sizes[dt]
+            if b >= 8 << 20:  # >= 8 MB buffers only
+                tally[f"{op} {dt}[{shape}]"] += b
+        for k, b in tally.most_common(20):
+            print(f"  {b/1e6:8.1f} MB  {k}")
+        print(f"  (total tallied >=8MB: "
+              f"{sum(tally.values())/1e6:.0f} MB)", flush=True)
+
     def chain_sync(s):
         leaf = s["params"]["embeddings"]["fused"]["table"]
         return float(np.asarray(leaf[(0,) * leaf.ndim]))

@@ -511,14 +511,27 @@ def two_phase_sparse_adam_unique(
     d_nu = (new_nu.astype(mdt).astype(jnp.float32) - nu_f) * r
     Kp = pids.shape[0]
     row_width = table.shape[1]
-    sub = (
-        jax.nn.one_hot(flat_ids % P, P, dtype=jnp.float32) if P > 1 else None
-    )
+    # lane-ownership as a broadcast+select instead of a one-hot
+    # outer-product einsum.  x * onehot == where(mask, x, 0) bitwise for
+    # finite x (exact 1.0/0.0 multiplies; every equality test pins it).
+    # Cost-neutral by measurement (per-step bytes 3182 vs 3193 MB, time
+    # within noise — the materializations just shift shape, HLO tally in
+    # docs/perf_notes.md); kept for the explicit mask the int32 fold
+    # below shares.
+    own_mask = (
+        ((jnp.arange(P * dim, dtype=jnp.int32) // dim)[None, :]
+         == (flat_ids % P).astype(jnp.int32)[:, None])
+        if P > 1 else None
+    )  # [K, W] bool: lane belongs to this logical id's sub-row
+
+    def _tile(x):
+        return jnp.broadcast_to(
+            x[:, None, :], (K, P, x.shape[-1])).reshape(K, P * x.shape[-1])
 
     def acc_contrib(delta):
         """[K, dim] logical delta -> [K, W] physical-lane contribution."""
         if P > 1:
-            return jnp.einsum("kp,kd->kpd", sub, delta).reshape(K, P * dim)
+            return jnp.where(own_mask, _tile(delta), 0.0)
         return delta
 
     def acc(delta, width):
@@ -528,14 +541,13 @@ def two_phase_sparse_adam_unique(
     if packed:
         # new container values per logical position: new bf16 (mu, nu)
         # pairs widened to the owned lanes; lane-ownership mask from the
-        # same one-hot.  Accumulation at unique slots is done in int32
+        # same select.  Accumulation at unique slots is done in int32
         # (payloads are opaque bitpatterns; disjoint-lane integer adds are
         # exact and cannot canonicalize NaNs/denormals the way f32 adds
         # could).
         def widen(x, dtype):
             if P > 1:
-                return jnp.einsum("kp,kd->kpd", sub, x).reshape(
-                    K, P * dim).astype(dtype)
+                return jnp.where(own_mask, _tile(x), 0.0).astype(dtype)
             return x.astype(dtype)
 
         vals_c = pack_monu(
