@@ -607,18 +607,26 @@ def two_phase_sparse_adam_unique(
                 # touched row instead of two single-row copies
                 from ..ops.pallas_scatter import pallas_rows_write_dual
 
-                cont2 = jnp.stack([contrib_t_i, contrib_monu_i])
                 if accperm is not None:
                     # gather-route dedup: one designated contributor per
                     # slot via gather + a small residual scatter-add —
                     # bitwise equal (int32 adds commute), cheaper than the
-                    # full scatter whenever duplicates are a minority
-                    accd = cont2[:, accperm].at[:, resid_slot].add(
-                        cont2[:, resid_pos], mode="drop")
+                    # full scatter whenever duplicates are a minority.
+                    # Routed PER PLANE: stacking the [2, K, 128] contrib
+                    # planes first cost a pad + a defensive copy
+                    # (~270 MB/step, HLO ledger in perf_notes); per-plane
+                    # gathers alias their dying operands and only the
+                    # final [2, Kp, 128] kernel input materializes.
+                    def plane(c):
+                        return c[accperm].at[resid_slot].add(
+                            c[resid_pos], mode="drop")
+
+                    accd = jnp.stack(
+                        [plane(contrib_t_i), plane(contrib_monu_i)])
                 else:
                     accd = jnp.zeros((2, Kp, row_width), jnp.int32).at[
                         :, pinv
-                    ].add(cont2)
+                    ].add(jnp.stack([contrib_t_i, contrib_monu_i]))
                 new_stacked = pallas_rows_write_dual(
                     table.reshape(2, Vp, row_width),
                     pids,
