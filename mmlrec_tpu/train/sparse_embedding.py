@@ -638,19 +638,29 @@ def two_phase_sparse_adam_unique(
                     new_stacked.reshape(table.shape),
                     SparseAdamFoldedState(count=count),
                 )
-            cont2w = jnp.concatenate([contrib_t_i, contrib_monu_i], axis=1)
             if accperm is not None:
-                acc2 = cont2w[accperm].at[resid_slot].add(
-                    cont2w[resid_pos], mode="drop")
+                # per-plane routing (no concat pad / scatter copy — see
+                # the folded branch + perf_notes "Per-plane gather route")
+                def plane2(c):
+                    return jax.lax.bitcast_convert_type(
+                        c[accperm].at[resid_slot].add(
+                            c[resid_pos], mode="drop"),
+                        jnp.float32,
+                    )
+
+                acc_t = plane2(contrib_t_i)
+                acc_monu = plane2(contrib_monu_i)
             else:
                 acc2 = jnp.zeros(
-                    (Kp, 2 * row_width), jnp.int32).at[pinv].add(cont2w)
-            acc_t = jax.lax.bitcast_convert_type(
-                acc2[:, :row_width], jnp.float32
-            )
-            acc_monu = jax.lax.bitcast_convert_type(
-                acc2[:, row_width:], jnp.float32
-            )
+                    (Kp, 2 * row_width), jnp.int32).at[pinv].add(
+                    jnp.concatenate(
+                        [contrib_t_i, contrib_monu_i], axis=1))
+                acc_t = jax.lax.bitcast_convert_type(
+                    acc2[:, :row_width], jnp.float32
+                )
+                acc_monu = jax.lax.bitcast_convert_type(
+                    acc2[:, row_width:], jnp.float32
+                )
             table, monu = pallas_rows_write(
                 (table, state.monu), pids, (acc_t, acc_monu),
                 n_real=n_real, chunk=min(chunk, Kp), interpret=interpret,
