@@ -80,6 +80,27 @@ def pack_factor_for(
     return pack_lanes // dim if use_pack else 1
 
 
+def fused_table_geometry(layout):
+    """(dim, pack_factor, physical_rows) of the fused table a FeatureLayout
+    would build, or None when no fused path exists (non-uniform embedding
+    dims or varlen features).  Single source of truth shared by
+    FusedEmbedding.setup, the Trainer's table-update resolution, and
+    resolve_table_container — so config-time and fit-time decisions cannot
+    drift (ADVICE r3)."""
+    if getattr(layout, "varlen_slots", None):
+        return None
+    dims = {int(s.feature.embedding_dim) for s in layout.sparse_slots}
+    if len(dims) != 1:
+        return None
+    dim = dims.pop()
+    total = int(sum(s.feature.vocabulary_size for s in layout.sparse_slots))
+    P = pack_factor_for(total, dim)
+    rows = _round_up(max(total, 1), 128)
+    if P > 1:
+        rows = _round_up(rows, P * 128)
+    return dim, P, rows // P
+
+
 #: one-hot budget for the matmul-backward lookup: f32 [B, F, vmax] bytes.
 #: Break-even vs the scatter cotangent is vmax ~ 5000 (one-hot HBM bytes/row
 #: vmax*4B at ~819 GB/s vs ~28 ns/row scatter), so the cap is about MEMORY,

@@ -71,20 +71,58 @@ class SparseAdamFoldedState(NamedTuple):
     count: jnp.ndarray  # scalar int32
 
 
+# Pack/unpack are SAME-SHAPE integer shifts/masks, not shape-changing
+# bitcasts: XLA lowers f32[...] <-> bf16[..., 2] bitcast_convert_type
+# through materialized u32[..., 2] expand/select machinery (~600 MB/step
+# of the 40M step's HBM ledger, docs/perf_notes.md round-3), while the
+# [..., W]-shaped mask/shift/or forms fuse into the neighboring
+# elementwise work.  Bit layout (pinned by
+# tests/test_sparse_embedding.py::test_monu_pack_bit_layout): mu = low
+# 16 bits, nu = high 16 bits of each f32 lane — exactly the [..., 2]
+# little-endian pair order the original bitcast produced, so containers
+# written by either form are interchangeable.
+
+
 def unpack_monu(container: jnp.ndarray):
     """[..., W] f32 container -> (mu, nu) bfloat16 [..., W]."""
-    pairs = jax.lax.bitcast_convert_type(container, jnp.bfloat16)
-    return pairs[..., 0], pairs[..., 1]
+    ci = jax.lax.bitcast_convert_type(container, jnp.uint32)
+    mu = jax.lax.bitcast_convert_type(ci.astype(jnp.uint16), jnp.bfloat16)
+    nu = jax.lax.bitcast_convert_type(
+        (ci >> 16).astype(jnp.uint16), jnp.bfloat16
+    )
+    return mu, nu
+
+
+def unpack_monu_f32(container: jnp.ndarray):
+    """[..., W] f32 container -> (mu, nu) FLOAT32 [..., W] directly.
+
+    bf16 -> f32 conversion is exactly ``bits << 16``, so the f32 moments
+    come straight from two integer ops per lane with no bf16 intermediate
+    (bit-identical to unpack_monu(...)[i].astype(f32) — the hot path's
+    only use of the moments)."""
+    ci = jax.lax.bitcast_convert_type(container, jnp.uint32)
+    mu = jax.lax.bitcast_convert_type(ci << 16, jnp.float32)
+    nu = jax.lax.bitcast_convert_type(ci & jnp.uint32(0xFFFF0000), jnp.float32)
+    return mu, nu
 
 
 def pack_monu(mu_bf16: jnp.ndarray, nu_bf16: jnp.ndarray) -> jnp.ndarray:
     """(mu, nu) bfloat16 [..., W] -> [..., W] f32 container."""
-    return jax.lax.bitcast_convert_type(
-        jnp.stack(
-            [mu_bf16.astype(jnp.bfloat16), nu_bf16.astype(jnp.bfloat16)],
-            axis=-1,
-        ),
-        jnp.float32,
+    mu_u = jax.lax.bitcast_convert_type(
+        mu_bf16.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    nu_u = jax.lax.bitcast_convert_type(
+        nu_bf16.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type((nu_u << 16) | mu_u, jnp.float32)
+
+
+def pack_monu_rounded(mu_f32: jnp.ndarray, nu_f32: jnp.ndarray) -> jnp.ndarray:
+    """f32 moments -> container, with the round-to-bf16 inside: the
+    ``astype(bfloat16)`` is the hardware RNE convert (one vector op) and
+    everything else is same-shape integer math."""
+    return pack_monu(
+        mu_f32.astype(jnp.bfloat16), nu_f32.astype(jnp.bfloat16)
     )
 
 
@@ -203,6 +241,7 @@ def batch_step_metadata(
     n_phys_rows: int | None = None,
     chunk: int = 256,
     want_route: bool = False,
+    r_cap_min: int = 0,
 ):
     """All host-side per-batch metadata from ONE batched argsort.
 
@@ -264,7 +303,16 @@ def batch_step_metadata(
         prep = np.empty((steps, K), np.float32)
         if want_route:
             n_resid = (K - pnew.sum(axis=1)).astype(np.int64)
-            R_cap = max(256, -(-int(n_resid.max(initial=0)) // 256) * 256)
+            # R_cap determines the resid_pos/resid_slot SHAPES, which the
+            # jitted step program is specialized on — a drifting cap would
+            # retrace (a 5-390 s remote compile per occurrence on this
+            # backend).  Quantize to 256 * 2^k so at most ~log2(K/256)
+            # distinct shapes exist, and honor the caller's monotone floor
+            # (the Trainer passes the largest cap it has seen, r_cap_min).
+            R_cap = 256
+            need = max(int(n_resid.max(initial=0)), int(r_cap_min))
+            while R_cap < need:
+                R_cap *= 2
             accperm = np.zeros((steps, Kp), np.int32)
             resid_pos = np.zeros((steps, R_cap), np.int32)
             resid_slot = np.full((steps, R_cap), Kp, np.int32)  # Kp = drop
@@ -468,6 +516,28 @@ def two_phase_sparse_adam_unique(
     t = count.astype(jnp.float32)
     mdt = jnp.bfloat16 if packed else state.mu.dtype
     g_sum = jnp.zeros_like(g_rows).at[inv].add(g_rows)
+    Kp = pids.shape[0]
+    row_width = table.shape[1]
+    r = rep[:, None]
+    # lane-ownership as a broadcast+select instead of a one-hot
+    # outer-product einsum.  x * onehot == where(mask, x, 0) bitwise for
+    # finite x (exact 1.0/0.0 multiplies; every equality test pins it).
+    own_mask = (
+        ((jnp.arange(P * dim, dtype=jnp.int32) // dim)[None, :]
+         == (flat_ids % P).astype(jnp.int32)[:, None])
+        if P > 1 else None
+    )  # [K, W] bool: lane belongs to this logical id's sub-row
+
+    def _tile(x):
+        return jnp.broadcast_to(
+            x[:, None, :], (K, P, x.shape[-1])).reshape(K, P * x.shape[-1])
+
+    def acc_contrib(delta):
+        """[K, dim] logical delta -> [K, W] physical-lane contribution."""
+        if P > 1:
+            return jnp.where(own_mask, _tile(delta), 0.0)
+        return delta
+
     if packed:
         # ONE gather of the f32 container rows carries both bf16 moments
         # (folded: the container rows live at table[Vp + gid]).  The
@@ -487,74 +557,40 @@ def two_phase_sparse_adam_unique(
             )  # [K, W] f32 container
         else:
             sup_c = jnp.take(monu_src, monu_ids, axis=0)  # [K, W] f32
-        mu128, nu128 = unpack_monu(sup_c)  # bf16 [K, W]
-        if P > 1:
-            sub_m = jax.nn.one_hot(flat_ids % P, P, dtype=jnp.float32)
-            mu_rows = jnp.einsum(
-                "kp,kpd->kd", sub_m, mu128.astype(jnp.float32).reshape(K, P, dim))
-            nu_rows = jnp.einsum(
-                "kp,kpd->kd", sub_m, nu128.astype(jnp.float32).reshape(K, P, dim))
-        else:
-            mu_rows, nu_rows = mu128, nu128
-    else:
-        mu_rows = gather_rows(state.mu, flat_ids, dim, pack_factor)
-        nu_rows = gather_rows(state.nu, flat_ids, dim, pack_factor)
-    mu_f = mu_rows.astype(jnp.float32)
-    nu_f = nu_rows.astype(jnp.float32)
-    new_mu = b1 * mu_f + (1.0 - b1) * g_sum
-    new_nu = b2 * nu_f + (1.0 - b2) * g_sum * g_sum
-    mu_hat = new_mu / (1.0 - b1**t)
-    nu_hat = new_nu / (1.0 - b2**t)
-    r = rep[:, None]
-    d_table = -lr * mu_hat / (jnp.sqrt(nu_hat) + eps) * r
-    d_mu = (new_mu.astype(mdt).astype(jnp.float32) - mu_f) * r
-    d_nu = (new_nu.astype(mdt).astype(jnp.float32) - nu_f) * r
-    Kp = pids.shape[0]
-    row_width = table.shape[1]
-    # lane-ownership as a broadcast+select instead of a one-hot
-    # outer-product einsum.  x * onehot == where(mask, x, 0) bitwise for
-    # finite x (exact 1.0/0.0 multiplies; every equality test pins it).
-    # Cost-neutral by measurement (per-step bytes 3182 vs 3193 MB, time
-    # within noise — the materializations just shift shape, HLO tally in
-    # docs/perf_notes.md); kept for the explicit mask the int32 fold
-    # below shares.
-    own_mask = (
-        ((jnp.arange(P * dim, dtype=jnp.int32) // dim)[None, :]
-         == (flat_ids % P).astype(jnp.int32)[:, None])
-        if P > 1 else None
-    )  # [K, W] bool: lane belongs to this logical id's sub-row
-
-    def _tile(x):
-        return jnp.broadcast_to(
-            x[:, None, :], (K, P, x.shape[-1])).reshape(K, P * x.shape[-1])
-
-    def acc_contrib(delta):
-        """[K, dim] logical delta -> [K, W] physical-lane contribution."""
-        if P > 1:
-            return jnp.where(own_mask, _tile(delta), 0.0)
-        return delta
-
-    def acc(delta, width):
-        return jnp.zeros((Kp, width), jnp.float32).at[pinv].add(
-            acc_contrib(delta))
-
-    if packed:
-        # new container values per logical position: new bf16 (mu, nu)
-        # pairs widened to the owned lanes; lane-ownership mask from the
-        # same select.  Accumulation at unique slots is done in int32
+        # The packed Adam math runs at FULL LANE WIDTH [K, W] (round 4):
+        # the moments unpack straight to f32 via same-shape integer shifts
+        # (unpack_monu_f32), the gradient is widened ONCE, and the update
+        # chain runs on every lane — per owned lane this is the identical
+        # scalar op sequence as the old narrow [K, dim] path (so every
+        # bitwise pin holds), while non-owned lanes compute garbage that
+        # the own/rep selects below mask out.  This removes the one-hot
+        # einsum selections and the narrow->select->widen broadcast chain
+        # the HLO ledger attributed ~340-570 MB/step to
+        # (docs/perf_notes.md "40M step HLO buffer ledger").  FLOPs go up
+        # P-fold; the step is HBM-bound with 40x MXU headroom.
+        mu_w, nu_w = unpack_monu_f32(sup_c)  # f32 [K, W]
+        g_w = acc_contrib(g_sum)  # [K, W] gradient sums at owned lanes
+        new_mu_w = b1 * mu_w + (1.0 - b1) * g_w
+        new_nu_w = b2 * nu_w + (1.0 - b2) * g_w * g_w
+        mu_hat_w = new_mu_w / (1.0 - b1**t)
+        nu_hat_w = new_nu_w / (1.0 - b2**t)
+        d_table_w = -lr * mu_hat_w / (jnp.sqrt(nu_hat_w) + eps) * r
+        # new container values: bf16-rounded (mu, nu) pairs re-packed with
+        # same-shape integer ops; non-owned lanes hold garbage masked by
+        # ``own``.  Accumulation at unique slots is done in int32
         # (payloads are opaque bitpatterns; disjoint-lane integer adds are
         # exact and cannot canonicalize NaNs/denormals the way f32 adds
         # could).
-        def widen(x, dtype):
-            if P > 1:
-                return jnp.where(own_mask, _tile(x), 0.0).astype(dtype)
-            return x.astype(dtype)
+        vals_c = pack_monu_rounded(new_mu_w, new_nu_w)  # [K, W] f32
+        r_w = jnp.broadcast_to(r, (K, row_width))
+        own = (
+            jnp.where(own_mask, r_w, 0.0) if P > 1 else r_w
+        )  # 1.0 at owned lanes of first occurrences
 
-        vals_c = pack_monu(
-            widen(new_mu, jnp.float32).astype(jnp.bfloat16),
-            widen(new_nu, jnp.float32).astype(jnp.bfloat16),
-        )  # [K, W] f32 container
-        own = widen(jnp.broadcast_to(r, (K, dim)), jnp.float32)  # 1.0 owned
+        def own_sel(x):
+            """Zero a wide [K, W] buffer's non-owned lanes."""
+            return jnp.where(own_mask, x, 0.0) if P > 1 else x
+
         if use_pallas:
             from ..ops.pallas_scatter import pallas_rows_write
 
@@ -591,7 +627,7 @@ def two_phase_sparse_adam_unique(
                 + prep.astype(jnp.int32)[:, None] * old_i
             )
             old_ti = jax.lax.bitcast_convert_type(sup, jnp.int32)
-            new_t = sup + acc_contrib(d_table)
+            new_t = sup + own_sel(d_table_w)
             contrib_t_i = (
                 jnp.where(
                     own > 0,
@@ -676,12 +712,32 @@ def two_phase_sparse_adam_unique(
             kw = dict(unique_indices=True)
             acc_mask = jnp.zeros(
                 (Kp, row_width), jnp.float32).at[pinv].add(own)
-            table = table.at[pids].add(acc(d_table, row_width), **kw)
+            acc_t = jnp.zeros((Kp, row_width), jnp.float32).at[pinv].add(
+                own_sel(d_table_w))
+            table = table.at[pids].add(acc_t, **kw)
             old = jnp.take(state.monu, pids, axis=0, **kw)
             monu = state.monu.at[pids].set(
                 jnp.where(acc_mask > 0, acc_vals, old), **kw
             )
         return table, SparseAdamPackedState(monu=monu, count=count)
+
+    # ---- non-packed (split f32/bf16 moments): narrow [K, dim] math ----
+    mu_rows = gather_rows(state.mu, flat_ids, dim, pack_factor)
+    nu_rows = gather_rows(state.nu, flat_ids, dim, pack_factor)
+    mu_f = mu_rows.astype(jnp.float32)
+    nu_f = nu_rows.astype(jnp.float32)
+    new_mu = b1 * mu_f + (1.0 - b1) * g_sum
+    new_nu = b2 * nu_f + (1.0 - b2) * g_sum * g_sum
+    mu_hat = new_mu / (1.0 - b1**t)
+    nu_hat = new_nu / (1.0 - b2**t)
+    d_table = -lr * mu_hat / (jnp.sqrt(nu_hat) + eps) * r
+    d_mu = (new_mu.astype(mdt).astype(jnp.float32) - mu_f) * r
+    d_nu = (new_nu.astype(mdt).astype(jnp.float32) - nu_f) * r
+
+    def acc(delta, width):
+        return jnp.zeros((Kp, width), jnp.float32).at[pinv].add(
+            acc_contrib(delta))
+
     if use_pallas:
         from ..ops.pallas_scatter import pallas_rows_write
 

@@ -42,6 +42,36 @@ from .optimizers import get_optimizer
 from .pcgrad import pcgrad_merge
 
 
+def stacked_auto_conditions(cfg, layout, mesh, batch_size) -> bool:
+    """True iff the auto pallas+stacked conditions hold at ``batch_size``:
+    two_phase + pallas-eligible 128-lane rows + packed bf16 moments + no
+    mesh + real TPU + the unique-metadata headroom (phys rows > Kp).  The
+    SINGLE predicate behind both resolve_table_container (config time) and
+    the Trainer's fit-time demotion, so the two cannot drift (ADVICE r3).
+    """
+    mc = cfg.model_config
+    if not (
+        mc.extra.get("two_phase_embedding")
+        and str(mc.extra.get("table_update", "auto")) in ("auto", "pallas")
+        and str(mc.extra.get("table_opt_dtype") or "") == "bfloat16"
+        and mesh is None
+        and not mc.extra.get("explicit_collective_embedding")
+    ):
+        return False
+    from ..ops.embedding import fused_table_geometry
+
+    geo = fused_table_geometry(layout)
+    if geo is None:
+        return False
+    dim, P, phys_rows = geo
+    if dim * P != 128:
+        return False
+    K = batch_size * len(layout.sparse_slots)
+    if phys_rows <= -(-K // 256) * 256:
+        return False
+    return jax.devices()[0].platform != "cpu"
+
+
 def resolve_table_container(cfg, layout, mesh=None) -> None:
     """Opt INTO ``table_container="stacked"`` when the pallas table update
     will engage, BEFORE the model is built.
@@ -50,45 +80,24 @@ def resolve_table_container(cfg, layout, mesh=None) -> None:
     FusedEmbedding param shape depends on it, models/base.py), but whether
     the pallas update engages is a Trainer-time platform decision — so
     experiment drivers that build model+trainer together (main.py) call
-    this on the config first.  Mirrors the Trainer's auto conditions:
-    two_phase + pallas-eligible 128-lane rows + packed bf16 moments + no
-    mesh + real TPU + the unique-metadata headroom (phys rows > Kp at the
-    configured batch size).  A user-set ``table_container`` always wins.
+    this on the config first.  Evaluates ``stacked_auto_conditions`` at the
+    config's train_batch_size; if a library caller later fits with a
+    LARGER batch that breaks the headroom, the Trainer demotes back to the
+    split layout with a warning before variables are created
+    (_resolve_table_update).  A user-set ``table_container`` always wins.
     Measured: the stacked dual-write + gather-route step is 1.33x the
     split path at 40M x 32 (docs/perf_notes.md round-3 ladder).
     """
     mc = cfg.model_config
     if mc.extra.get("table_container") is not None:
         return
-    if not (
-        mc.extra.get("two_phase_embedding")
-        and str(mc.extra.get("table_update", "auto")) in ("auto", "pallas")
-        and str(mc.extra.get("table_opt_dtype") or "") == "bfloat16"
-        and mesh is None
-        and not mc.extra.get("explicit_collective_embedding")
+    if stacked_auto_conditions(
+        cfg, layout, mesh, cfg.training_config.train_batch_size
     ):
-        return
-    from ..ops.embedding import pack_factor_for
-
-    sparse_dims = {
-        s.feature.embedding_dim for s in layout.sparse_slots
-    }
-    if len(sparse_dims) != 1:
-        return
-    dim = sparse_dims.pop()
-    total = int(sum(s.feature.vocabulary_size for s in layout.sparse_slots))
-    P = pack_factor_for(total, dim)
-    if dim * P != 128:
-        return
-    rows = -(-max(total, 1) // 128) * 128
-    if P > 1:
-        rows = -(-rows // (P * 128)) * (P * 128)
-    K = cfg.training_config.train_batch_size * len(layout.sparse_slots)
-    if rows // P <= -(-K // 256) * 256:
-        return
-    if jax.devices()[0].platform == "cpu":
-        return
-    mc.extra["table_container"] = "stacked"
+        mc.extra["table_container"] = "stacked"
+        # marker letting the Trainer distinguish the auto opt-in from an
+        # explicit user choice (only the former may demote at fit time)
+        mc.extra["_table_container_auto"] = True
 
 
 def get_mask(domain_values, mask_values, num_domains) -> np.ndarray:
@@ -993,16 +1002,43 @@ class Trainer:
         Kp = -(-K // 256) * 256
         if self._emb_phys_rows > Kp:
             return
-        if not getattr(self, "_table_update_auto", False) or (
-            getattr(self, "table_container", "split") == "stacked"
+        mc = self.cfg.model_config
+        stacked = getattr(self, "table_container", "split") == "stacked"
+        if (
+            stacked
+            and mc.extra.get("_table_container_auto")
+            and getattr(self, "_table_update_auto", False)
+            and self.variables is None
+            and getattr(self, "_train_state", None) is None
         ):
-            # a stacked container cannot demote to scatter (the moments
-            # live inside the param), so it raises even under auto
+            # the config-time auto opt-in (resolve_table_container) assumed
+            # the config's train_batch_size; this fit's batch breaks the
+            # unique-metadata headroom.  No variables exist yet, so undo the
+            # opt-in — the model reads table_container at init — and fall
+            # through to the scatter demotion below.
+            import warnings
+
+            warnings.warn(
+                f"table_container='stacked' was auto-engaged at the config "
+                f"batch size but fit(batch_size={batch_size}) breaks the "
+                f"unique-metadata headroom (physical rows "
+                f"{self._emb_phys_rows} <= Kp={Kp}); demoting to the split "
+                "layout and the scatter update"
+            )
+            mc.extra["table_container"] = "split"
+            mc.extra.pop("_table_container_auto", None)
+            self.table_container = "split"
+        elif not getattr(self, "_table_update_auto", False) or stacked:
+            # an initialized stacked container cannot demote to scatter
+            # (the moments live inside the param), so it raises even under
+            # auto; explicit table_update modes always raise
             raise ValueError(
-                f"table_update={self.table_update!r} needs the physical "
-                f"table ({self._emb_phys_rows} rows) to exceed the padded "
-                f"per-batch id count Kp={Kp}; use a larger vocabulary, a "
-                "smaller batch, or table_update='scatter'"
+                f"table_update={self.table_update!r}"
+                + (" with table_container='stacked'" if stacked else "")
+                + f" needs the physical table ({self._emb_phys_rows} rows) "
+                f"to exceed the padded per-batch id count Kp={Kp}; use a "
+                "larger vocabulary, a smaller batch, or "
+                "table_update='scatter'"
             )
         self.table_update = "scatter"
         self._packed_moments = False
@@ -1042,10 +1078,20 @@ class Trainer:
 
         if self.table_update == "scatter":
             return batch_step_metadata(flat)
-        return batch_step_metadata(
+        want_route = getattr(self, "dedup_route", "scatter") == "gather"
+        meta = batch_step_metadata(
             flat, self._emb_pack_factor, self._emb_phys_rows,
-            want_route=getattr(self, "dedup_route", "scatter") == "gather",
+            want_route=want_route,
+            # monotone residual-capacity floor: keep the resid shapes (and
+            # therefore the jitted step program) stable across epochs and
+            # streaming batches — see batch_step_metadata's R_cap comment
+            r_cap_min=getattr(self, "_route_r_cap", 0),
         )
+        if want_route:
+            self._route_r_cap = max(
+                getattr(self, "_route_r_cap", 0), meta[7].shape[1]
+            )
+        return meta
 
     def _slice_dedup(self, dedup2d, s):
         """Row s of the per-epoch (inv, rep[, pids, pinv]) stacks
@@ -2129,23 +2175,81 @@ class Trainer:
             )
         )
 
+    def _state_to_split_layout(self, state):
+        """Training state in the platform-independent SPLIT layout: a
+        stacked-container state (fat [2Vp, W] table param + FoldedState)
+        is converted to (table top half, unpacked split mu/nu) so a
+        checkpoint written by a stacked TPU run restores into any
+        table_container / table_update configuration (ADVICE r3).  All
+        conversions are slices/bitcasts — bit-exact round trip."""
+        from .sparse_embedding import (
+            SparseAdamFoldedState,
+            SparseAdamState,
+            to_split_state,
+            unpack_monu,
+        )
+
+        out = dict(state)
+        topt = state.get("table_opt")
+        if isinstance(topt, SparseAdamFoldedState):
+            rest, fat = self._without_table(state["params"])
+            Vp = fat.shape[0] // 2
+            mu, nu = unpack_monu(fat[Vp:])
+            out["params"] = self._with_table(rest, fat[:Vp])
+            out["table_opt"] = SparseAdamState(mu=mu, nu=nu, count=topt.count)
+        elif topt is not None:
+            out["table_opt"] = to_split_state(topt)
+        return out
+
+    def _state_to_runtime_layout(self, state):
+        """Inverse of _state_to_split_layout for THIS trainer's runtime
+        (refold the fat param under a stacked container, re-pack bf16
+        moments under packed split)."""
+        from .sparse_embedding import (
+            SparseAdamFoldedState,
+            SparseAdamState,
+            pack_monu,
+            to_runtime_state,
+        )
+
+        out = dict(state)
+        topt = state.get("table_opt")
+        if (
+            getattr(self, "table_container", "split") == "stacked"
+            and isinstance(topt, SparseAdamState)
+        ):
+            rest, table = self._without_table(state["params"])
+            fat = jnp.concatenate(
+                [
+                    table,
+                    pack_monu(
+                        topt.mu.astype(jnp.bfloat16),
+                        topt.nu.astype(jnp.bfloat16),
+                    ),
+                ]
+            )
+            out["params"] = self._with_table(rest, fat)
+            out["table_opt"] = SparseAdamFoldedState(count=topt.count)
+        elif topt is not None:
+            out["table_opt"] = to_runtime_state(
+                topt, getattr(self, "_packed_moments", False)
+            )
+        return out
+
     def save_training_state(self, path: str, epoch: Optional[int] = None) -> str:
         import orbax.checkpoint as ocp
 
         if getattr(self, "_train_state", None) is None:
             raise ValueError("no training state; call fit() first")
         epoch = epoch if epoch is not None else len(self.history)
-        from .sparse_embedding import to_split_state
 
         payload_state = {
             k: v
             for k, v in self._train_state.items()
             if v is not None and k != "epoch_step"  # transient counter
         }
-        if "table_opt" in payload_state:
-            # checkpoints store the platform-independent split layout
-            payload_state["table_opt"] = to_split_state(
-                payload_state["table_opt"])
+        # checkpoints store the platform-independent split layout
+        payload_state = self._state_to_split_layout(payload_state)
         payload = {
             "state": payload_state,
             "epoch": jnp.asarray(epoch, jnp.int32),
@@ -2159,12 +2263,9 @@ class Trainer:
     def _restore_training_state(self, path: str, template_state):
         import orbax.checkpoint as ocp
 
-        from .sparse_embedding import to_runtime_state, to_split_state
-
         tmpl_state = {
             k: v for k, v in template_state.items() if v is not None}
-        if "table_opt" in tmpl_state:
-            tmpl_state["table_opt"] = to_split_state(tmpl_state["table_opt"])
+        tmpl_state = self._state_to_split_layout(tmpl_state)
         template = {
             "state": tmpl_state,
             "epoch": jnp.zeros((), jnp.int32),
@@ -2172,18 +2273,20 @@ class Trainer:
         checkpointer = ocp.StandardCheckpointer()
         try:
             restored = checkpointer.restore(path, template)
+            converted = True
         except Exception:
             # pre-migration checkpoints stored the runtime (possibly
-            # packed) layout directly — retry with the unconverted template
+            # packed / stacked) layout directly — retry with the
+            # unconverted template
             template["state"] = {
                 k: v for k, v in template_state.items() if v is not None
             }
             restored = checkpointer.restore(path, template)
+            converted = False
         state = dict(template_state)
         state.update(restored["state"])
-        if "table_opt" in state:
-            state["table_opt"] = to_runtime_state(
-                state["table_opt"], getattr(self, "_packed_moments", False))
+        if converted:
+            state = self._state_to_runtime_layout(state)
         return state, int(restored["epoch"])
 
     def save_checkpoint(self, path: str):

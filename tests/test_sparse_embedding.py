@@ -735,3 +735,197 @@ def test_resolve_table_container(monkeypatch):
                              table_opt_dtype="bfloat16")
     resolve_table_container(cfg, layout)
     assert cfg.model_config.extra.get("table_container") is None
+
+def test_route_r_cap_quantized_and_monotone():
+    """The gather-route residual capacity is quantized to 256*2^k and
+    honors a caller-supplied monotone floor, so the resid shapes (and the
+    jitted step program specialized on them) stay stable across epochs /
+    streaming batches instead of retracing whenever the max duplicate
+    count crosses a 256 boundary (ADVICE r3, medium)."""
+    from mmlrec_tpu.train.sparse_embedding import batch_step_metadata
+
+    rng = np.random.default_rng(0)
+    K, P, V = 512, 2, 4096
+
+    def r_cap(ids, r_cap_min=0):
+        meta = batch_step_metadata(
+            ids, P, V, want_route=True, r_cap_min=r_cap_min)
+        accperm, resid_pos, resid_slot = meta[6:9]
+        assert resid_pos.shape == resid_slot.shape
+        return resid_pos.shape[1]
+
+    # few duplicates -> minimum cap
+    ids = rng.permutation(4000)[:K][None, :].astype(np.int64)
+    assert r_cap(ids) == 256
+
+    # ~384 residuals would previously produce a 512-cap; the quantum is
+    # the same here but 700 residuals must jump to 1024, not 768
+    ids_dup = rng.integers(0, 90, (1, K)).astype(np.int64)  # heavy dups
+    n_resid = K - len(np.unique(ids_dup // P))
+    cap = r_cap(ids_dup)
+    assert cap >= n_resid and cap in (256, 512, 1024)
+    assert cap & (cap - 1) == 0  # power of two
+
+    # monotone floor wins over the computed need
+    assert r_cap(ids, r_cap_min=cap) == cap
+
+    # Trainer tracks the largest cap seen and passes it back
+    cfg = make_config(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+                      n_dense=2, hidden=(8,), tower=(4,), gate=(4,),
+                      batch_size=64, lr=3e-3, two_phase_embedding=True,
+                      vocab=400, table_update="pallas",
+                      table_opt_dtype="bfloat16")
+    layout, x, y, _ = make_data(cfg, n=256, seed=0, vocab=400)
+    tr = Trainer(get_model("sharedbottom", layout, cfg), seed=0).compile()
+    assert tr.dedup_route == "gather"
+    tr._route_r_cap = 512
+    offs = np.asarray(tr._fused_offsets)[None, :]
+    flat = (np.asarray(tr.pack_inputs(x)[0][:64]).astype(np.int64)
+            + offs).reshape(1, -1)
+    meta = tr._step_metadata(flat)
+    assert meta[7].shape[1] == 512  # floor honored
+    assert tr._route_r_cap == 512
+
+
+def test_stacked_checkpoint_restores_into_split_trainer(tmp_path):
+    """save_training_state writes the platform-independent SPLIT layout
+    even for stacked-container runs (fat param sliced, bf16 moment pairs
+    unpacked), so the checkpoint restores into a split-configured trainer
+    — and a split checkpoint refolds into a stacked one (ADVICE r3)."""
+    kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+              n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,), epochs=2,
+              batch_size=64, lr=3e-3, two_phase_embedding=True, vocab=400,
+              table_update="pallas", table_opt_dtype="bfloat16")
+    data_kw = dict(n=256, seed=0, vocab=400)
+
+    def make_trainer(container):
+        cfg = make_config(**kw, table_container=container)
+        layout, x, y, _ = make_data(cfg, **data_kw)
+        tr = Trainer(get_model("sharedbottom", layout, cfg), seed=0).compile()
+        return tr, x, y
+
+    # full uninterrupted runs in both containers (pinned equal elsewhere)
+    tr_full, x, y = make_trainer("split")
+    tr_full.fit(x, y, batch_size=64, epochs=2, shuffle=False, verbose=0)
+
+    for src, dst in (("stacked", "split"), ("split", "stacked")):
+        tr1, x, y = make_trainer(src)
+        tr1.fit(x, y, batch_size=64, epochs=1, shuffle=False, verbose=0)
+        path = tr1.save_training_state(str(tmp_path / f"{src}_to_{dst}"))
+        tr2, x, y = make_trainer(dst)
+        tr2.fit(x, y, batch_size=64, epochs=2, shuffle=False, verbose=0,
+                resume_from=path)
+        got = np.asarray(
+            tr2.variables["params"]["embeddings"]["fused"]["table"])
+        want = np.asarray(
+            tr_full.variables["params"]["embeddings"]["fused"]["table"])
+        if dst == "stacked":
+            got = got[: got.shape[0] // 2]
+        np.testing.assert_array_equal(got, want, err_msg=f"{src}->{dst}")
+
+
+def test_stacked_auto_demotes_on_fit_batch_headroom(monkeypatch):
+    """A larger-than-config fit() batch that breaks the unique-metadata
+    headroom demotes an AUTO-engaged stacked container back to split +
+    scatter with a warning, instead of crashing after model construction
+    (ADVICE r3).  An EXPLICIT stacked setting still raises."""
+    import warnings
+
+    import pytest
+
+    from mmlrec_tpu.train import resolve_table_container
+
+    # emb=128, P=1 satisfies the 128-lane condition without a huge vocab:
+    # total vocab 4*400=1600 -> 1664 physical rows
+    base = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+                n_dense=2, emb=128, hidden=(8,), tower=(4,), gate=(4,),
+                batch_size=16, lr=3e-3, two_phase_embedding=True,
+                table_opt_dtype="bfloat16")
+
+    class _Dev:
+        platform = "tpu"
+
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [_Dev()])
+    cfg = make_config(**base)
+    layout, x, y, _ = make_data(cfg, n=1024, seed=0, vocab=400)
+    # headroom holds at the config batch (16*4=64 ids -> Kp=256 < 1664)
+    resolve_table_container(cfg, layout)
+    assert cfg.model_config.extra["table_container"] == "stacked"
+    assert cfg.model_config.extra.get("_table_container_auto")
+
+    # construction must also see "TPU" so auto table_update resolves to
+    # pallas (the real-hardware scenario); undo before fit so the actual
+    # CPU training below uses real devices — the demotion happens before
+    # any pallas kernel would run
+    model = get_model("sharedbottom", layout, cfg)
+    tr = Trainer(model, seed=0).compile()
+    monkeypatch.undo()
+    assert tr.table_update == "pallas" and tr.table_container == "stacked"
+    # library caller fits with a batch far above the config's: 512*4=2048
+    # ids -> Kp=2048 >= 1664 physical rows -> headroom broken
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        tr.fit(x, y, batch_size=512, epochs=1, shuffle=False, verbose=0)
+    assert any("demoting" in str(wi.message) for wi in w)
+    assert tr.table_container == "split"
+    assert tr.table_update == "scatter"
+    assert cfg.model_config.extra["table_container"] == "split"
+    # the run actually trained (params exist in the split shape)
+    t = tr.variables["params"]["embeddings"]["fused"]["table"]
+    assert t.shape[0] == 1664  # split layout, not the fat 2*1664
+
+    # explicit stacked: raises with the container named
+    cfg2 = make_config(**base, table_container="stacked",
+                       table_update="pallas")
+    layout2, x2, y2, _ = make_data(cfg2, n=1024, seed=0, vocab=400)
+    model2 = get_model("sharedbottom", layout2, cfg2)
+    tr2 = Trainer(model2, seed=0).compile()
+    with pytest.raises(ValueError, match="stacked"):
+        tr2.fit(x2, y2, batch_size=512, epochs=1, verbose=0)
+
+def test_monu_pack_bit_layout():
+    """The same-shape integer pack/unpack forms (round 4) are bit-identical
+    to the original shape-changing bitcast forms, so containers written by
+    either are interchangeable (checkpoints, resumed runs)."""
+    from mmlrec_tpu.train.sparse_embedding import (
+        pack_monu,
+        pack_monu_rounded,
+        unpack_monu,
+        unpack_monu_f32,
+    )
+
+    rng = np.random.default_rng(0)
+    mu = jnp.asarray(rng.normal(size=(16, 8)), jnp.float32)
+    nu = jnp.asarray(np.abs(rng.normal(size=(16, 8))), jnp.float32)
+
+    # original forms, inlined as the reference
+    def pack_ref(mu_bf16, nu_bf16):
+        return jax.lax.bitcast_convert_type(
+            jnp.stack([mu_bf16.astype(jnp.bfloat16),
+                       nu_bf16.astype(jnp.bfloat16)], axis=-1),
+            jnp.float32,
+        )
+
+    def unpack_ref(container):
+        pairs = jax.lax.bitcast_convert_type(container, jnp.bfloat16)
+        return pairs[..., 0], pairs[..., 1]
+
+    c_ref = pack_ref(mu, nu)
+    c_new = pack_monu(mu.astype(jnp.bfloat16), nu.astype(jnp.bfloat16))
+    np.testing.assert_array_equal(
+        np.asarray(c_ref).view(np.uint32), np.asarray(c_new).view(np.uint32))
+    np.testing.assert_array_equal(
+        np.asarray(c_ref).view(np.uint32),
+        np.asarray(pack_monu_rounded(mu, nu)).view(np.uint32))
+
+    mu_r, nu_r = unpack_ref(c_ref)
+    mu_n, nu_n = unpack_monu(c_ref)
+    np.testing.assert_array_equal(np.asarray(mu_r), np.asarray(mu_n))
+    np.testing.assert_array_equal(np.asarray(nu_r), np.asarray(nu_n))
+
+    # f32 direct unpack == bf16 unpack + astype(f32), bitwise
+    mu_f, nu_f = unpack_monu_f32(c_ref)
+    np.testing.assert_array_equal(
+        np.asarray(mu_r.astype(jnp.float32)), np.asarray(mu_f))
+    np.testing.assert_array_equal(
+        np.asarray(nu_r.astype(jnp.float32)), np.asarray(nu_f))
