@@ -66,6 +66,9 @@ def run(mode: str, vocab_per_feature: int = VOCAB, n_sparse: int = 16,
     # DEDUP_ROUTE=scatter|gather pins the unique-slot accumulation route
     if os.environ.get("DEDUP_ROUTE"):
         kw["dedup_route"] = os.environ["DEDUP_ROUTE"]
+    # PAIR_GATHER=split|dual pins the stacked (table, monu) row fetch route
+    if os.environ.get("PAIR_GATHER"):
+        kw["pair_gather"] = os.environ["PAIR_GATHER"]
     cfg = make_config(**kw)
     cols = [SparseFeat(f"s{i}", vocab_per_feature, emb_dim)
             for i in range(n_sparse)] + [DenseFeat(f"d{i}", 1) for i in range(4)]

@@ -25,7 +25,10 @@ default — the reference's ``epsilon=1e-3`` ctor arg is never passed on).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+from .layers import bn_axis
 
 
 class DomainBatchNorm(nn.Module):
@@ -37,26 +40,52 @@ class DomainBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, *, train: bool = False):
-        """x: [B, F]; mask: [B, D] one-hot domain membership -> [B, F]."""
+        """x: [B, F]; mask: [B, D] one-hot domain membership -> [B, F].
+
+        Under the explicit-collective shard_map step x/mask are the LOCAL
+        batch shard; when ops.layers.bn_cross_replica_axis is active the
+        batch statistics (counts, masked sums, whole-batch moments) are
+        psum'd over that axis so they equal the global-batch statistics
+        (reference computes whole-batch stats, model/utils.py:582-592).
+        """
         D, F = self.num_domains, self.num_features
+        ax = bn_axis()
+
+        def gsum(v):
+            return jax.lax.psum(v, ax) if ax else v
+
+        n_rep = jax.lax.psum(1, ax) if ax else 1
+        B_glob = x.shape[0] * n_rep
         gamma = self.param("gamma", nn.initializers.ones, (D, F))
         beta = self.param("beta", nn.initializers.zeros, (D, F))
         pop_mean = self.variable("batch_stats", "pop_mean", jnp.zeros, (D, F))
         pop_var = self.variable("batch_stats", "pop_var", jnp.ones, (D, F))
 
+        def batch_moments():
+            """Whole-batch (m, v_biased), cross-replica when ax is set.
+            The single-device form keeps jnp.var's op order so existing
+            numerics are untouched."""
+            if not ax:
+                return (
+                    jnp.mean(x, axis=0, keepdims=True),
+                    jnp.var(x, axis=0, keepdims=True),
+                )
+            m = gsum(jnp.sum(x, axis=0, keepdims=True)) / B_glob
+            sq = gsum(jnp.sum(x * x, axis=0, keepdims=True)) / B_glob
+            return m, jnp.maximum(sq - m * m, 0.0)
+
         if mask is None:
             # reference model/utils.py:609-611: plain non-affine batch norm.
-            m = jnp.mean(x, axis=0, keepdims=True)
-            v = jnp.var(x, axis=0, keepdims=True)
+            m, v = batch_moments()
             return (x - m) / jnp.sqrt(v + self.eps)
 
         mask = mask.astype(x.dtype)  # [B, D]
         if train:
-            counts = jnp.sum(mask, axis=0)  # [D]
+            counts = gsum(jnp.sum(mask, axis=0))  # [D] global
             present = counts > 0
             safe = jnp.maximum(counts, 1.0)[:, None]  # [D, 1]
-            dom_mean = jnp.einsum("bd,bf->df", mask, x) / safe
-            sq = jnp.einsum("bd,bf->df", mask, x * x) / safe
+            dom_mean = gsum(jnp.einsum("bd,bf->df", mask, x)) / safe
+            sq = gsum(jnp.einsum("bd,bf->df", mask, x * x)) / safe
             dom_var_biased = jnp.maximum(sq - dom_mean**2, 0.0)
             # unbiased for the EMA (torch Tensor.var default)
             denom = jnp.maximum(counts - 1.0, 1.0)[:, None]
@@ -70,8 +99,7 @@ class DomainBatchNorm(nn.Module):
                 pop_var.value = jnp.where(keep, pop_var.value, new_var)
 
             if self.mode == "reference":
-                m = jnp.mean(x, axis=0, keepdims=True)  # [1, F]
-                v = jnp.var(x, axis=0, keepdims=True)
+                m, v = batch_moments()  # [1, F]
                 normed = (x[:, None, :] - m[:, None, :]) / jnp.sqrt(v[:, None, :] + self.eps)
             else:
                 normed = (x[:, None, :] - dom_mean[None]) / jnp.sqrt(

@@ -29,6 +29,41 @@ from .initializers import (
 
 Dtype = jnp.dtype
 
+# ---------------------------------------------------------------------------
+# Cross-replica batch-norm axis.  Under the explicit-collective shard_map
+# step (parallel/explicit_step.py) every module sees only its LOCAL batch
+# shard; batch statistics must be reduced over the mapped 'data' axis to
+# match single-device numerics (reference DomainBatchNorm/DNN BN compute
+# whole-batch stats, model/utils.py:553-636).  Rather than threading an
+# axis_name through every model constructor, the step body sets this
+# context variable around its traced loss computation and every BatchNorm
+# construction site reads it (nn.compact modules are built at trace time,
+# so the value is baked into the traced program).  The GSPMD mesh path
+# needs none of this — jnp.mean over a sharded batch is already global.
+# ---------------------------------------------------------------------------
+
+import contextlib
+import contextvars
+
+_BN_CROSS_REPLICA_AXIS: contextvars.ContextVar = contextvars.ContextVar(
+    "bn_cross_replica_axis", default=None
+)
+
+
+@contextlib.contextmanager
+def bn_cross_replica_axis(name: Optional[str]):
+    """Trace-time context: BatchNorm layers reduce their batch statistics
+    over the named mapped axis (lax.pmean) while active."""
+    tok = _BN_CROSS_REPLICA_AXIS.set(name)
+    try:
+        yield
+    finally:
+        _BN_CROSS_REPLICA_AXIS.reset(tok)
+
+
+def bn_axis() -> Optional[str]:
+    return _BN_CROSS_REPLICA_AXIS.get()
+
 
 def activation_fn(name: Optional[str]) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Stateless activations (reference model/utils.py:10-37).
@@ -78,6 +113,7 @@ class Dice(nn.Module):
             epsilon=1e-8,
             use_bias=False,
             use_scale=False,
+            axis_name=bn_axis(),
         )(x)
         p = jax.nn.sigmoid(normed)
         return p * x + (1.0 - p) * alpha * x
@@ -115,6 +151,7 @@ class MLP(nn.Module):
                     use_running_average=not train,
                     momentum=0.9,
                     epsilon=1e-5,
+                    axis_name=bn_axis(),
                     name=f"bn_{i}",
                 )(x)
             if self.activation is not None and self.activation != "":
@@ -198,6 +235,7 @@ class StackedMLP(nn.Module):
                     momentum=0.9,
                     epsilon=1e-5,
                     axis=(-2, -1),
+                    axis_name=bn_axis(),
                     name=f"bn_{i}",
                 )(x)
             if self.activation is not None and self.activation != "":
@@ -391,7 +429,10 @@ class GateNN(nn.Module):
             name="dense_0",
         )(x)
         if self.batch_norm:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                axis_name=bn_axis(),
+            )(x)
         x = activation_fn(self.hidden_activation)(x)
         if self.dropout_rate > 0:
             x = nn.Dropout(rate=self.dropout_rate, deterministic=not train)(x)

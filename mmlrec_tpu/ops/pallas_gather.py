@@ -126,3 +126,60 @@ def pallas_rows_gather_hbm(
         grid_spec=grid_spec,
         interpret=bool(interpret),
     )(ids, table)
+
+def _dual_gather_kernel(chunk: int, ids_ref, stacked_ref, out_ref, sem):
+    i = pl.program_id(0)
+
+    def issue(j):
+        idx = ids_ref[i * chunk + j]
+        return pltpu.make_async_copy(
+            stacked_ref.at[:, pl.ds(idx, 1)],
+            out_ref.at[:, pl.ds(i * chunk + j, 1)],
+            sem,
+        )
+
+    for j in range(chunk):
+        issue(j).start()
+    for j in range(chunk):
+        issue(j).wait()
+
+
+def pallas_rows_gather_dual(
+    stacked: jnp.ndarray,
+    ids: jnp.ndarray,
+    *,
+    chunk: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """stacked [2, V, W] -> pairs [2, K, W]: ONE [2, 1, 128] strided DMA
+    fetches BOTH planes' row per id (12.8 ns/row-PAIR scan-amortized vs
+    8.8 each for two separate XLA takes — probe_row_gather_scan.py,
+    docs/perf_notes.md round-3 asymmetry table).  The read-side twin of
+    ops/pallas_scatter.py::pallas_rows_write_dual, usable only with the
+    stacked table+moment container where plane 0 is the table row and
+    plane 1 its packed (mu, nu) container row.
+
+    ids may contain duplicates (reads race benignly).  K % chunk == 0.
+    INTERPRET MODES follow ops/pallas_scatter.py: ``True`` = fast pure-JAX
+    reference (jnp.take along axis 1), ``"pallas"`` = genuine pallas
+    interpreter, ``False`` = Mosaic.
+    """
+    assert stacked.ndim == 3 and stacked.shape[0] == 2, stacked.shape
+    if interpret and interpret != "pallas":
+        return jnp.take(stacked, ids, axis=1)
+    K = ids.shape[0]
+    assert K % chunk == 0, (K, chunk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K // chunk,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        functools.partial(_dual_gather_kernel, chunk),
+        out_shape=jax.ShapeDtypeStruct(
+            (2, K, stacked.shape[2]), stacked.dtype),
+        grid_spec=grid_spec,
+        interpret=bool(interpret),
+    )(ids, stacked)

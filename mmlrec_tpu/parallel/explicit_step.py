@@ -12,16 +12,24 @@ schedule is exactly:
   3. one tiled all-gather of (flat_ids, row-cotangents) over 'data' — the
      ID/gradient exchange that routes every touched row's gradient to its
      owner shard;
-  4. owner-local masked scatter-adds for the SparseAdam table/moment
-     updates — zero collectives.
+  4. owner-local SparseAdam table/moment updates — zero collectives.  On
+     the pallas+packed path the unique-slot accumulation rides the same
+     per-plane designated-contributor gather + residual route as the
+     single-chip recipe (round 4; scatter shapes measured 20.1-52.6
+     ns/row vs 8.8 for gathers) and each shard streams its contiguous
+     owned window of the sorted unique row list through the write-only
+     row kernel.
 
 Numerics match the single-device two-phase step exactly (modulo f32
 reduction order); pinned by tests/test_sharding.py.
 
-Scope gates (explicit path only — the GSPMD path has no such limits):
-batch_stats must be empty (cross-replica batch-norm would need a stats
-psum) and dropout must be 0 (per-shard PRNG streams would decorrelate from
-the global-batch stream).  All flagship configs satisfy both.
+Scope gate (explicit path only — the GSPMD path has no such limit):
+dropout must be 0 (per-shard PRNG streams would decorrelate from the
+global-batch stream).  batch_stats models (dnn_use_bn / STAR's
+DomainBatchNorm — configs_mtl/config_census.json:38, configs_msl/
+config_amazon.json:38) are supported since round 4: BN layers psum their
+batch moments over 'data' (ops/layers.py bn_cross_replica_axis) so the
+statistics equal the global batch's.
 
 Reference: the rebuilt exchange has no counterpart — the reference's only
 parallelism is ``torch.nn.DataParallel`` (model/basemodel.py:235-238).
@@ -37,6 +45,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
 
+from ..ops.layers import bn_cross_replica_axis
 from ..train.sparse_embedding import SparseAdamPackedState, SparseAdamState
 from .shard_embedding import (
     owned_gather,
@@ -76,8 +85,8 @@ def make_explicit_two_phase_step(trainer):
         trainer.cfg.model_config.extra.get("grad_exchange_chunks", 1) or 1
     )
 
-    def body(rest, table, topt, opt_state, rng, ids, dense, y, dmask, weight,
-             inv, rep, *meta):
+    def body(rest, table, topt, opt_state, rng, bstats, ids, dense, y, dmask,
+             weight, inv, rep, *meta):
         B_loc, F = ids.shape
         k_loc = B_loc * F
         shard_i = jax.lax.axis_index("data")
@@ -90,12 +99,17 @@ def make_explicit_two_phase_step(trainer):
         local_batch = (ids, dense, y, dmask, weight, inv_local, rep_local)
 
         def local_obj(rest_, rows_):
-            return trainer._loss_terms_injected(
-                rest_, table, rows_.reshape(B_loc, F, dim), {}, local_batch,
-                step_rng, reg_scale=1.0 / n_data,
-            )
+            # batch-stats models: BN layers psum their batch moments over
+            # 'data' (ops/layers.py bn_cross_replica_axis) so statistics
+            # equal the global batch's and the mutated running stats are
+            # replicated across both mesh axes
+            with bn_cross_replica_axis("data" if bstats else None):
+                return trainer._loss_terms_injected(
+                    rest_, table, rows_.reshape(B_loc, F, dim), bstats,
+                    local_batch, step_rng, reg_scale=1.0 / n_data,
+                )
 
-        (total_loss, (data_loss, _stats, probs)), (g_rest, g_rows) = (
+        (total_loss, (data_loss, new_stats, probs)), (g_rest, g_rows) = (
             jax.value_and_grad(local_obj, argnums=(0, 1), has_aux=True)(
                 rest, rows.reshape(B_loc * F, dim)
             )
@@ -143,11 +157,19 @@ def make_explicit_two_phase_step(trainer):
             g_rows_all = jax.lax.all_gather(g_rows, "data", tiled=True)
             g_sum = None
         if use_pallas:
-            pids, pinv, nuniq, prep = meta
+            pids, pinv, nuniq, prep = meta[:4]
+            # gather-route dedup metadata rides behind the unique-row
+            # metadata when dedup_route == "gather" (trainer._step_metadata
+            # want_route)
+            route = (
+                dict(accperm=meta[4], resid_pos=meta[5], resid_slot=meta[6],
+                     gdup_pos=meta[7], gdup_tgt=meta[8])
+                if len(meta) > 4 else {}
+            )
             new_table, new_topt = sharded_two_phase_sparse_adam_pallas(
                 table, g_rows_all, flat_all, inv, rep, pids, pinv, nuniq,
                 prep, topt, lr=lr, pack_factor=pack_factor,
-                interpret=pallas_interpret, g_sum=g_sum,
+                interpret=pallas_interpret, g_sum=g_sum, **route,
             )
         else:
             new_table, new_topt = sharded_two_phase_sparse_adam(
@@ -156,25 +178,21 @@ def make_explicit_two_phase_step(trainer):
             )
         updates, opt_state = trainer.tx.update(g_rest, opt_state, rest)
         rest = optax.apply_updates(rest, updates)
-        return (rest, new_table, new_topt, opt_state, rng, total_loss,
-                data_loss, probs)
+        return (rest, new_table, new_topt, opt_state, rng, new_stats,
+                total_loss, data_loss, probs)
 
     row_sharded = P("model", None)
 
     def step(state, batch):
         ids, dense, y, dmask, weight, inv, rep = batch[:7]
-        meta = tuple(batch[7:])  # (pids, pinv, nuniq, prep) in pallas mode
+        meta = tuple(batch[7:])  # (pids, pinv, nuniq, prep[, route]) pallas
         topt_spec = (
             SparseAdamPackedState(monu=row_sharded, count=P())
             if isinstance(state["table_opt"], SparseAdamPackedState)
             else SparseAdamState(mu=row_sharded, nu=row_sharded, count=P())
         )
         rest, table = trainer._without_table(state["params"])
-        if state.get("batch_stats"):
-            raise NotImplementedError(
-                "explicit_collective_embedding does not support batch_stats "
-                "models (cross-replica batch norm); use the GSPMD path"
-            )
+        bstats = state.get("batch_stats") or {}
         batch_specs = (
             P("data", None), P("data", None), P("data", None),
             None if dmask is None else P("data", None), P("data"), P(), P(),
@@ -182,18 +200,22 @@ def make_explicit_two_phase_step(trainer):
         fn = jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(), row_sharded, topt_spec, P(), P()) + batch_specs,
-            out_specs=(P(), row_sharded, topt_spec, P(), P(), P(), P(),
+            # batch_stats replicated in AND out: the in-body psums make the
+            # mutated running stats identical on every device
+            in_specs=(P(), row_sharded, topt_spec, P(), P(), P())
+            + batch_specs,
+            out_specs=(P(), row_sharded, topt_spec, P(), P(), P(), P(), P(),
                        P("data", None)),
             check_vma=False,
         )
-        (rest, table, topt, opt_state, rng, total_loss, data_loss, probs) = fn(
+        (rest, table, topt, opt_state, rng, new_stats, total_loss,
+         data_loss, probs) = fn(
             rest, table, state["table_opt"], state["opt_state"], state["rng"],
-            ids, dense, y, dmask, weight, inv, rep, *meta,
+            bstats, ids, dense, y, dmask, weight, inv, rep, *meta,
         )
         new_state = {
             "params": trainer._with_table(rest, table),
-            "batch_stats": state.get("batch_stats", {}),
+            "batch_stats": new_stats,
             "opt_state": opt_state,
             "rng": rng,
             "table_opt": topt,

@@ -189,6 +189,11 @@ def sharded_two_phase_sparse_adam_pallas(
     interpret: bool = False,
     axis_name: str = "model",
     g_sum: jnp.ndarray = None,
+    accperm=None,  # [Kp] gather-route dedup (batch_step_metadata want_route)
+    resid_pos=None,  # [R_cap] residual contributor positions
+    resid_slot=None,  # [R_cap] residual target slots (Kp = drop)
+    gdup_pos=None,  # [G_cap] logical-dup gradient residual positions
+    gdup_tgt=None,  # [G_cap] their first-occurrence targets (K = drop)
 ):
     """The write-only-kernel table update on row-sharded state.
 
@@ -201,11 +206,23 @@ def sharded_two_phase_sparse_adam_pallas(
     locally resident, so non-owned positions may hold zeros (they only
     flow into slots outside the written window).  ZERO collectives in the
     entire update.
+
+    The packed (bf16 pair container) branch mirrors the round-4
+    single-chip recipe: wide-lane Adam math (no einsum selections or
+    narrow->widen broadcasts) and, when the gather-route metadata is
+    supplied, the per-plane designated-contributor gather + residual
+    scatter instead of the full [Kp, 2W] accumulation scatter (VERDICT r3
+    #2 — the scatter shape measured 20.1-52.6 ns/row vs 8.8 for gathers).
+    Correctness under sharding: a shard's contribs are garbage at
+    positions whose rows it does not own, but every contributor of a slot
+    inside this shard's bounds window shares that slot's physical row —
+    so owned slots accumulate exactly the owned (correct) contribs, and
+    garbage lands only on slots outside the written window.
     """
     from ..train.sparse_embedding import (
         SparseAdamPackedState,
-        pack_monu,
-        unpack_monu,
+        pack_monu_rounded,
+        unpack_monu_f32,
     )
     from ..ops.pallas_scatter import pallas_rows_write
 
@@ -222,7 +239,13 @@ def sharded_two_phase_sparse_adam_pallas(
     Kp = pids.shape[0]
 
     if g_sum is None:
-        g_sum = jnp.zeros_like(g_rows).at[inv].add(g_rows)
+        if gdup_pos is not None:
+            # routed gradient dedup (see train/sparse_embedding.py): only
+            # the logical duplicates scatter; non-first positions hold
+            # g[j] garbage masked by rep/own downstream
+            g_sum = g_rows.at[gdup_tgt].add(g_rows[gdup_pos], mode="drop")
+        else:
+            g_sum = jnp.zeros_like(g_rows).at[inv].add(g_rows)
 
     def local_rows(shard, ids_phys):
         """Old rows WITHOUT a collective: every physical row a shard
@@ -235,6 +258,86 @@ def sharded_two_phase_sparse_adam_pallas(
         return jnp.where(owned[:, None], got, 0)
 
     sup = local_rows(table_shard, phys)  # [K, W] old table rows (owned)
+    r = rep[:, None]
+    pr = prep[:, None]
+    bounds = _owned_bounds(pids, nuniq, base, r_local)
+    local_pids = (pids - base).astype(jnp.int32)
+    own_mask = (
+        ((jnp.arange(P * dim, dtype=jnp.int32) // dim)[None, :]
+         == (flat_ids % P).astype(jnp.int32)[:, None])
+        if P > 1 else None
+    )  # [K, W] bool: lane belongs to this logical id's sub-row
+
+    def _tile(x):
+        return jnp.broadcast_to(
+            x[:, None, :], (K, P, x.shape[-1])).reshape(K, P * x.shape[-1])
+
+    def own_sel(x):
+        """Zero a wide [K, W] buffer's non-owned lanes."""
+        return jnp.where(own_mask, x, 0.0) if P > 1 else x
+
+    if packed:
+        sup_c = local_rows(state.monu, phys)
+        # wide-lane math — identical per-owned-lane op chain to the narrow
+        # form (see train/sparse_embedding.py round-4 note); non-owned /
+        # non-resident lanes compute garbage masked by own or the bounds
+        # window
+        mu_w, nu_w = unpack_monu_f32(sup_c)  # f32 [K, W]
+        g_w = own_sel(_tile(g_sum)) if P > 1 else g_sum
+        new_mu_w = b1 * mu_w + (1.0 - b1) * g_w
+        new_nu_w = b2 * nu_w + (1.0 - b2) * g_w * g_w
+        mu_hat_w = new_mu_w / (1.0 - b1**t)
+        nu_hat_w = new_nu_w / (1.0 - b2**t)
+        d_table_w = -lr * mu_hat_w / (jnp.sqrt(nu_hat_w) + eps) * r
+        vals_c = pack_monu_rounded(new_mu_w, new_nu_w)  # [K, W] f32
+        r_w = jnp.broadcast_to(r, (K, W))
+        own = jnp.where(own_mask, r_w, 0.0) if P > 1 else r_w
+        # Old-row fold with NO [Kp, W] monu base gather (see the
+        # single-device path, train/sparse_embedding.py): owned lanes ride
+        # as wrapping int32 deltas (new_bits - old_bits) against the
+        # already-gathered sup_c and the prep contributor adds the whole
+        # old row, so per lane the sum is exactly new (owned) or old.
+        old_i = jax.lax.bitcast_convert_type(sup_c, jnp.int32)
+        new_i = jax.lax.bitcast_convert_type(vals_c, jnp.int32)
+        contrib_monu_i = (
+            jnp.where(own > 0, new_i - old_i, 0)
+            + prep.astype(jnp.int32)[:, None] * old_i
+        )
+        old_ti = jax.lax.bitcast_convert_type(sup, jnp.int32)
+        new_t = sup + own_sel(d_table_w)
+        contrib_t_i = (
+            jnp.where(
+                own > 0,
+                jax.lax.bitcast_convert_type(new_t, jnp.int32) - old_ti,
+                0,
+            )
+            + prep.astype(jnp.int32)[:, None] * old_ti
+        )
+        if accperm is not None:
+            # per-plane gather-route dedup (bitwise equal — int32 payload
+            # adds commute; perf_notes "Per-plane gather route")
+            def plane(c):
+                return jax.lax.bitcast_convert_type(
+                    c[accperm].at[resid_slot].add(c[resid_pos], mode="drop"),
+                    jnp.float32,
+                )
+
+            acc_t = plane(contrib_t_i)
+            acc_monu = plane(contrib_monu_i)
+        else:
+            acc2 = jnp.zeros((Kp, 2 * W), jnp.int32).at[pinv].add(
+                jnp.concatenate([contrib_t_i, contrib_monu_i], axis=1)
+            )
+            acc_t = jax.lax.bitcast_convert_type(acc2[:, :W], jnp.float32)
+            acc_monu = jax.lax.bitcast_convert_type(acc2[:, W:], jnp.float32)
+        new_table, new_monu = pallas_rows_write(
+            (table_shard, state.monu), local_pids,
+            (acc_t, acc_monu),
+            bounds=bounds, chunk=min(256, Kp), interpret=interpret,
+        )
+        return new_table, SparseAdamPackedState(monu=new_monu, count=count)
+
+    # ---- non-packed (split f32/bf16 moments): narrow math + einsum widen
     sub = jax.nn.one_hot(flat_ids % P, P, dtype=jnp.float32) if P > 1 else None
 
     def extract(sup_rows):
@@ -249,76 +352,14 @@ def sharded_two_phase_sparse_adam_pallas(
             return jnp.einsum("kp,kd->kpd", sub, x).reshape(K, P * dim)
         return x
 
-    if packed:
-        sup_c = local_rows(state.monu, phys)
-        mu128, nu128 = unpack_monu(sup_c)
-        mu_f, nu_f = extract(mu128), extract(nu128)
-    else:
-        sup_mu = local_rows(state.mu, phys)
-        sup_nu = local_rows(state.nu, phys)
-        mu_f, nu_f = extract(sup_mu), extract(sup_nu)
-
+    sup_mu = local_rows(state.mu, phys)
+    sup_nu = local_rows(state.nu, phys)
+    mu_f, nu_f = extract(sup_mu), extract(sup_nu)
     new_mu = b1 * mu_f + (1.0 - b1) * g_sum
     new_nu = b2 * nu_f + (1.0 - b2) * g_sum * g_sum
     mu_hat = new_mu / (1.0 - b1**t)
     nu_hat = new_nu / (1.0 - b2**t)
-    r = rep[:, None]
-    pr = prep[:, None]
     d_table = -lr * mu_hat / (jnp.sqrt(nu_hat) + eps) * r
-
-    bounds = _owned_bounds(pids, nuniq, base, r_local)
-    local_pids = (pids - base).astype(jnp.int32)
-
-    if packed:
-        vals_c = pack_monu(
-            widen(new_mu).astype(jnp.bfloat16),
-            widen(new_nu).astype(jnp.bfloat16))
-        own = widen(jnp.broadcast_to(r, (K, dim)))
-        # Old-row fold with NO [Kp, W] monu base gather (see the
-        # single-device path, train/sparse_embedding.py): owned lanes ride
-        # as wrapping int32 deltas (new_bits - old_bits) against the
-        # already-gathered sup_c and the prep contributor adds the whole
-        # old row, so per lane the sum is exactly new (owned) or old.
-        # Rows this shard does not own see sup_c = 0 and accumulate
-        # garbage, but their slots lie outside the kernel's bounds window
-        # and are never written.
-        old_i = jax.lax.bitcast_convert_type(sup_c, jnp.int32)
-        new_i = jax.lax.bitcast_convert_type(vals_c, jnp.int32)
-        contrib_monu_i = (
-            jnp.where(own > 0, new_i - old_i, 0)
-            + prep.astype(jnp.int32)[:, None] * old_i
-        )
-        # The TABLE buffer rides the SAME int32 bit-delta fold as the
-        # single-device path (train/sparse_embedding.py): the owner
-        # computes its lanes' complete new f32 value old + delta first
-        # (sup[k] holds the old physical row, bit-identical at every
-        # owned k; non-owned rows see sup = 0 but their slots lie outside
-        # the bounds window), then contributes the wrapping bit-delta.
-        # Both buffers then merge into ONE [Kp, 2W] int32 scatter —
-        # scatter cost on this backend is per-OP, not per-byte
-        # (probe_acc_scatter_width.py).
-        old_ti = jax.lax.bitcast_convert_type(sup, jnp.int32)
-        new_t = sup + widen(d_table)
-        contrib_t_i = (
-            jnp.where(
-                own > 0,
-                jax.lax.bitcast_convert_type(new_t, jnp.int32) - old_ti,
-                0,
-            )
-            + prep.astype(jnp.int32)[:, None] * old_ti
-        )
-        acc2 = jnp.zeros((Kp, 2 * W), jnp.int32).at[pinv].add(
-            jnp.concatenate([contrib_t_i, contrib_monu_i], axis=1)
-        )
-        acc_t = jax.lax.bitcast_convert_type(acc2[:, :W], jnp.float32)
-        acc_monu = jax.lax.bitcast_convert_type(acc2[:, W:], jnp.float32)
-        new_table, new_monu = pallas_rows_write(
-            (table_shard, state.monu), local_pids,
-            (acc_t, acc_monu),
-            bounds=bounds, chunk=min(256, Kp), interpret=interpret,
-        )
-        return new_table, SparseAdamPackedState(monu=new_monu, count=count)
-
     mdt = state.mu.dtype
     d_mu = (new_mu.astype(mdt).astype(jnp.float32) - mu_f) * r
     d_nu = (new_nu.astype(mdt).astype(jnp.float32) - nu_f) * r

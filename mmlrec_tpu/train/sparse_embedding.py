@@ -266,6 +266,17 @@ def batch_step_metadata(
     skipped by the kernel's n_real); resid holds every other contributor's
     (position, slot), padded to R_cap (shared across the call's batches,
     rounded to a multiple of 256) with (0, Kp) — slot Kp drops.
+
+    want_route also returns (gdup_pos, gdup_tgt) [steps, G_cap]: the
+    LOGICAL-duplicate residual pairs for the gradient-sum route.  The
+    gradient dedup ``zeros[K].at[inv].add(g)`` scatters ALL K rows when
+    only the duplicates need routing (588 us of the 40M step,
+    probe_40m_wide_stages.py round 4); since inv[j] == j at first
+    occurrences, ``g.at[gdup_tgt].add(g[gdup_pos])`` produces the same
+    sums at every first occurrence with an ~n_dups-row scatter.  Pairs are
+    (position of each NON-first logical occurrence, its first-occurrence
+    position), padded with (0, K) — target K drops.  Non-first positions
+    then hold g[j] instead of 0, which every consumer masks (rep/own).
     """
     steps, K = flat_ids.shape
     flat = flat_ids.astype(np.int64)
@@ -309,13 +320,22 @@ def batch_step_metadata(
             # backend).  Quantize to 256 * 2^k so at most ~log2(K/256)
             # distinct shapes exist, and honor the caller's monotone floor
             # (the Trainer passes the largest cap it has seen, r_cap_min).
-            R_cap = 256
-            need = max(int(n_resid.max(initial=0)), int(r_cap_min))
-            while R_cap < need:
-                R_cap *= 2
+            def quantized_cap(need):
+                cap = 256
+                while cap < need:
+                    cap *= 2
+                return cap
+
+            R_cap = quantized_cap(
+                max(int(n_resid.max(initial=0)), int(r_cap_min)))
             accperm = np.zeros((steps, Kp), np.int32)
             resid_pos = np.zeros((steps, R_cap), np.int32)
             resid_slot = np.full((steps, R_cap), Kp, np.int32)  # Kp = drop
+            n_ldup = (K - newv.sum(axis=1)).astype(np.int64)
+            G_cap = quantized_cap(
+                max(int(n_ldup.max(initial=0)), int(r_cap_min)))
+            gdup_pos = np.zeros((steps, G_cap), np.int32)
+            gdup_tgt = np.full((steps, G_cap), K, np.int32)  # K = drop
     grp_all = np.cumsum(newv, axis=1, dtype=np.int32) - 1
     for b in range(steps):
         ob, nb = order[b], newv[b]
@@ -336,6 +356,10 @@ def batch_step_metadata(
                 R = int(nb_res.sum())
                 resid_pos[b, :R] = ob[nb_res]
                 resid_slot[b, :R] = pgrp[b][nb_res]
+                ldm = ~nb  # non-first LOGICAL occurrences (sorted order)
+                L = int(ldm.sum())
+                gdup_pos[b, :L] = ob[ldm]
+                gdup_tgt[b, :L] = first_sorted[grp_all[b]][ldm]
             if U < Kp:
                 # distinct untouched rows at the TAIL (see
                 # batch_phys_metadata): the first non-members of u in
@@ -346,7 +370,8 @@ def batch_step_metadata(
                 pids[b, U:] = np.flatnonzero(~present)[: Kp - U]
     if want_phys:
         if want_route:
-            return inv, rep, pids, pinv, nuniq, prep, accperm, resid_pos, resid_slot
+            return (inv, rep, pids, pinv, nuniq, prep, accperm, resid_pos,
+                    resid_slot, gdup_pos, gdup_tgt)
         return inv, rep, pids, pinv, nuniq, prep
     return inv, rep
 
@@ -479,11 +504,14 @@ def two_phase_sparse_adam_unique(
     chunk: int = 256,
     n_real=None,  # [1] int32: pids[n_real:] are padding (kernel skips them)
     sup=None,  # [K, W] phase-1 TABLE super-rows (reused; else re-gathered)
+    sup_c=None,  # [K, W] moment-container rows (dual pair-gather; else here)
     prep=None,  # [K] 1.0 at each PHYSICAL row's first occurrence
     monu_gather: str = "xla",  # "xla" | "pallas": moment-container gather
     accperm=None,  # [Kp] gather-route dedup (batch_step_metadata want_route)
     resid_pos=None,  # [R_cap] residual contributor positions
     resid_slot=None,  # [R_cap] residual target slots (Kp = drop)
+    gdup_pos=None,  # [G_cap] logical-dup gradient residual positions
+    gdup_tgt=None,  # [G_cap] their first-occurrence targets (K = drop)
 ):
     """two_phase_sparse_adam with duplicate-free big-array updates.
 
@@ -515,7 +543,15 @@ def two_phase_sparse_adam_unique(
     count = state.count + 1
     t = count.astype(jnp.float32)
     mdt = jnp.bfloat16 if packed else state.mu.dtype
-    g_sum = jnp.zeros_like(g_rows).at[inv].add(g_rows)
+    if gdup_pos is not None:
+        # routed gradient dedup: the full [K] inv-scatter costs ~9 ns/row
+        # (588 us of the 40M step) when only the logical duplicates need
+        # routing.  Same pairwise-add order as the inv-scatter at every
+        # first occurrence (see batch_step_metadata), garbage at non-first
+        # positions that every consumer masks via rep/own.
+        g_sum = g_rows.at[gdup_tgt].add(g_rows[gdup_pos], mode="drop")
+    else:
+        g_sum = jnp.zeros_like(g_rows).at[inv].add(g_rows)
     Kp = pids.shape[0]
     row_width = table.shape[1]
     r = rep[:, None]
@@ -549,7 +585,9 @@ def two_phase_sparse_adam_unique(
         gids = flat_ids // P if P > 1 else flat_ids
         monu_src = table if folded else state.monu
         monu_ids = Vp + gids if folded else gids
-        if monu_gather == "pallas" and K % 256 == 0:
+        if sup_c is not None:
+            pass  # caller supplied the container rows (dual pair-gather)
+        elif monu_gather == "pallas" and K % 256 == 0:
             from ..ops.pallas_gather import pallas_rows_gather_hbm
 
             sup_c = pallas_rows_gather_hbm(

@@ -294,8 +294,9 @@ class Trainer:
         # the full [Kp, 2W] scatter (bitwise equal — int32 payload adds
         # commute; gathers are 8.8 ns/row vs scatter's per-op cost on this
         # backend).  Only the packed pallas update has the int32 merged
-        # accumulation this rewrites; the explicit-collective mesh step
-        # keeps its own shard-local scatter.
+        # accumulation this rewrites; since round 4 the explicit-collective
+        # mesh step routes its shard-local accumulation the same way
+        # (parallel/shard_embedding.py, VERDICT r3 #2).
         self.dedup_route = str(mc.extra.get("dedup_route", "auto"))
         if self.dedup_route not in ("auto", "scatter", "gather"):
             raise ValueError(
@@ -308,18 +309,16 @@ class Trainer:
                 if (
                     self.table_update == "pallas"
                     and getattr(self, "_packed_moments", False)
-                    and not mc.extra.get("explicit_collective_embedding")
                 )
                 else "scatter"
             )
         elif self.dedup_route == "gather" and not (
             self.table_update == "pallas"
             and getattr(self, "_packed_moments", False)
-            and not mc.extra.get("explicit_collective_embedding")
         ):
             raise ValueError(
                 "dedup_route='gather' requires table_update='pallas' with "
-                "packed bf16 moments on the non-explicit-collective path"
+                "packed bf16 moments"
             )
         if self.monu_gather == "auto":
             # measured round 3 (probe_row_gather_scan.py + the in-step A/B):
@@ -356,6 +355,25 @@ class Trainer:
                     "table_container='stacked' is single-device; use the "
                     "explicit_collective_embedding split layout on a mesh"
                 )
+        # pair_gather="dual": fetch each touched row's (table, monu) pair
+        # with ONE [2, 1, 128] strided DMA (ops/pallas_gather.py
+        # pallas_rows_gather_dual, 12.8 ns/row-PAIR) instead of two
+        # separate XLA takes (8.8 each) — only possible with the stacked
+        # container, where the pair is one strided descriptor apart.
+        self.pair_gather = str(mc.extra.get("pair_gather", "auto"))
+        if self.pair_gather not in ("auto", "split", "dual"):
+            raise ValueError(
+                f"pair_gather must be auto|split|dual, got "
+                f"{self.pair_gather!r}"
+            )
+        if self.pair_gather == "auto":
+            self.pair_gather = (
+                "dual" if self.table_container == "stacked" else "split"
+            )
+        elif self.pair_gather == "dual" and self.table_container != "stacked":
+            raise ValueError(
+                "pair_gather='dual' requires table_container='stacked'"
+            )
         if self.two_phase_embedding and (
             self.is_pcgrad
             or mc.extra.get("use_gradnorm")
@@ -674,16 +692,33 @@ class Trainer:
         # keep the phase-1 SUPER rows in hand: the write-only pallas update
         # reuses them as the old-row values (same take XLA would CSE, made
         # explicit), and the logical rows derive from them exactly as in
-        # gather_rows
+        # gather_rows.  Under the stacked container the update's
+        # moment-container rows live one strided plane away, so both are
+        # fetched together by the dual pair-gather kernel (pair_gather).
+        phys = flat_ids // P if P > 1 else flat_ids
+        sup_c = None
+        if (
+            getattr(self, "pair_gather", "split") == "dual"
+            and (B * F) % 256 == 0
+        ):
+            from ..ops.pallas_gather import pallas_rows_gather_dual
+
+            Vp = table.shape[0] // 2
+            pair = pallas_rows_gather_dual(
+                table.reshape(2, Vp, table.shape[1]),
+                phys.astype(jnp.int32),
+                interpret=self._pallas_interpret,
+            )
+            sup, sup_c = pair[0], pair[1]
+        else:
+            sup = jnp.take(table, phys, axis=0)
         if P > 1:
-            sup = jnp.take(table, flat_ids // P, axis=0)
             sub = jax.nn.one_hot(flat_ids % P, P, dtype=table.dtype)
             rows = jnp.einsum(
                 "kp,kpd->kd", sub,
                 sup.reshape(-1, P, self._emb_dim),
             )
         else:
-            sup = jnp.take(table, flat_ids, axis=0)
             rows = sup
         rows = rows.reshape(B, F, self._emb_dim)
         (total_loss, (data_loss, new_stats, probs)), (g_rest, g_rows) = (
@@ -698,7 +733,8 @@ class Trainer:
                 batch[7], batch[8], batch[9], batch[10])
             route = (
                 dict(accperm=batch[11], resid_pos=batch[12],
-                     resid_slot=batch[13])
+                     resid_slot=batch[13], gdup_pos=batch[14],
+                     gdup_tgt=batch[15])
                 if len(batch) > 11 else {}
             )
             new_table, new_table_opt = two_phase_sparse_adam_unique(
@@ -716,6 +752,7 @@ class Trainer:
                 interpret=self._pallas_interpret,
                 n_real=nuniq,
                 sup=sup,
+                sup_c=sup_c,
                 prep=prep,
                 monu_gather=self.monu_gather,
                 **route,
@@ -1028,6 +1065,8 @@ class Trainer:
             mc.extra["table_container"] = "split"
             mc.extra.pop("_table_container_auto", None)
             self.table_container = "split"
+            self.pair_gather = "split"
+            self.dedup_route = "scatter"
         elif not getattr(self, "_table_update_auto", False) or stacked:
             # an initialized stacked container cannot demote to scatter
             # (the moments live inside the param), so it raises even under
@@ -1088,8 +1127,10 @@ class Trainer:
             r_cap_min=getattr(self, "_route_r_cap", 0),
         )
         if want_route:
+            # one shared floor for both residual widths (resid + gdup)
             self._route_r_cap = max(
-                getattr(self, "_route_r_cap", 0), meta[7].shape[1]
+                getattr(self, "_route_r_cap", 0), meta[7].shape[1],
+                meta[9].shape[1],
             )
         return meta
 

@@ -929,3 +929,50 @@ def test_monu_pack_bit_layout():
         np.asarray(mu_r.astype(jnp.float32)), np.asarray(mu_f))
     np.testing.assert_array_equal(
         np.asarray(nu_r.astype(jnp.float32)), np.asarray(nu_f))
+
+def test_route_bitwise_at_pack_factor_16():
+    """Function-level bitwise pin of the FULL route stack (accperm/resid +
+    routed g_sum) at a production-like pack factor (P=16), heavy
+    duplicates included.  The trainer-level pin (vocab 80) covers P=1;
+    at P>1 trainer-LEVEL comparisons can differ by ULPs because XLA may
+    compile the f32 sqrt/divide chain differently between the two
+    programs (extra route inputs change fusion decisions) — the route
+    MATH itself is exact, which is what this pins."""
+    from mmlrec_tpu.train.sparse_embedding import (
+        SparseAdamFoldedState,
+        batch_step_metadata,
+        two_phase_sparse_adam_unique,
+    )
+
+    P, D, K, Vp = 16, 8, 512, 1024
+    rng = np.random.default_rng(7)
+    fat = jnp.asarray(rng.normal(size=(2 * Vp, P * D)), jnp.float32)
+    flat_ids = rng.integers(0, Vp * P, K).astype(np.int64)
+    flat_ids[:50] = flat_ids[0]  # heavy duplicates of one logical id
+    flat_ids[50:60] = flat_ids[0] + 1  # same PHYSICAL row, other lanes
+    g_rows = jnp.asarray(rng.normal(size=(K, D)), jnp.float32)
+    meta = batch_step_metadata(flat_ids[None, :], P, Vp, chunk=8,
+                               want_route=True)
+    (inv, rep, pids, pinv, nuniq, prep, accperm, resid_pos, resid_slot,
+     gdup_pos, gdup_tgt) = (jnp.asarray(a[0]) for a in meta)
+    st = SparseAdamFoldedState(count=jnp.zeros((), jnp.int32))
+    common = dict(lr=0.05, pack_factor=P, use_pallas=True, interpret=True,
+                  n_real=nuniq, prep=prep, chunk=8)
+    args = (fat, g_rows, jnp.asarray(flat_ids, jnp.int32), inv, rep, pids,
+            pinv, st)
+    t_scatter, _ = two_phase_sparse_adam_unique(*args, **common)
+    t_route, _ = two_phase_sparse_adam_unique(
+        *args, accperm=accperm, resid_pos=resid_pos, resid_slot=resid_slot,
+        gdup_pos=gdup_pos, gdup_tgt=gdup_tgt, **common)
+    np.testing.assert_array_equal(
+        np.asarray(t_scatter).view(np.uint32),
+        np.asarray(t_route).view(np.uint32))
+
+    # the two gradient-dedup forms agree bitwise at every CONSUMED
+    # (first-occurrence) position
+    gs_old = jnp.zeros_like(g_rows).at[inv].add(g_rows)
+    gs_new = g_rows.at[gdup_tgt].add(g_rows[gdup_pos], mode="drop")
+    m = np.asarray(rep) > 0
+    np.testing.assert_array_equal(
+        np.asarray(gs_old)[m].view(np.uint32),
+        np.asarray(gs_new)[m].view(np.uint32))
