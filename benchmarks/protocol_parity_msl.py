@@ -299,6 +299,13 @@ def run_ours(config, seed, intended: bool):
         # mtmsl regime — BASELINE.md round 3)
         if not os.environ.get("INTENDED_NO_GATES"):
             cfg_dict["model_config"]["snr_stochastic_gates"] = True
+            # GATE_ALPHA=per_connection: Louizos-style per-connection
+            # learnable keep-rate (round 4) — the fix for the scalar
+            # variant's drop-connect degeneration that kills snr_trans
+            # task-pairs at 4 heads (BASELINE.md stochastic-gate caveat)
+            if os.environ.get("GATE_ALPHA"):
+                cfg_dict["model_config"]["snr_gate_alpha"] = (
+                    os.environ["GATE_ALPHA"])
         cfg_dict["model_config"]["domain_bn_mode"] = "intended"
     cfg = ExperimentConfig.from_dict(cfg_dict)
     ds = ctrdataset(cfg)

@@ -60,6 +60,12 @@ class _SNRBase(RecModel):
                 freeze_trans_ref_faithful=freeze,
                 freeze_u_ref_faithful=freeze and self.freeze_u,
                 stochastic=bool(mc.extra.get("snr_stochastic_gates")),
+                # "per_connection" = learnable per-connection keep-rate
+                # (Louizos-style L0); the scalar default is the reference's
+                # torch.rand(1) alpha (snr_trans.py:13).  See SNRGate.
+                per_connection_alpha=(
+                    mc.extra.get("snr_gate_alpha", "scalar")
+                    == "per_connection"),
                 name=f"gate_{i + 1}",
             )(x, train=train)  # [B, out_dim, units[i]]
 

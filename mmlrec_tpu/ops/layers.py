@@ -486,13 +486,30 @@ class SNRGate(nn.Module):
     # eval uses the distribution midpoint (u = 0.5, the standard
     # hard-concrete deterministic test gate).
     stochastic: bool = False
+    # True = the hard-concrete location alpha is PER-CONNECTION (shaped like
+    # u) instead of the reference's single scalar (snr_trans.py:13
+    # ``torch.rand(1)``).  With ``stochastic`` the scalar variant degrades
+    # into drop-connect noise with one global learnable rate — u is fresh
+    # noise each step, so no per-connection routing signal exists and the
+    # slow-takeoff heads die under tight early stopping (BASELINE.md
+    # "stochastic-gate caveat").  Per-connection alpha is the standard
+    # Louizos et al. L0 hard-concrete parameterization: each connection's
+    # keep-rate is learned while the noise keeps clipped gates alive.
+    # Enabled via model_config ``snr_gate_alpha: "per_connection"``.
+    per_connection_alpha: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert x.ndim == 3 and x.shape[1] == self.input_dim and x.shape[2] == self.units
+        alpha_shape = (
+            (self.output_dim, self.input_dim, self.units)
+            if self.elementwise
+            else (self.output_dim, self.input_dim)
+        ) if self.per_connection_alpha else (1,)
         alpha = self.param(
-            "alpha", lambda k, s: jax.random.uniform(k, s), (1,)
-        )  # torch.rand init (snr_trans.py:13)
+            "alpha", lambda k, s: jax.random.uniform(k, s), alpha_shape
+        )  # torch.rand init (snr_trans.py:13); uniform per connection keeps
+        # the init-time z distribution identical to the scalar variant
         u_shape = (
             (self.output_dim, self.input_dim, self.units)
             if self.elementwise
@@ -524,8 +541,10 @@ class SNRGate(nn.Module):
 
         # clamp: alpha is trainable and unconstrained; log(alpha<=0) would
         # NaN (the reference would NaN identically at snr_trans.py:40 —
-        # u/alpha are registered params there)
-        alpha_safe = jnp.maximum(alpha[0], 1e-8)
+        # u/alpha are registered params there).  Per-connection alpha
+        # broadcasts against u ([out, in] or [out, in, units]).
+        alpha_safe = jnp.maximum(
+            alpha if self.per_connection_alpha else alpha[0], 1e-8)
         # f32-safe strict interior for u: ``1.0 - 1e-8`` rounds to exactly
         # 1.0 in f32 (eps ~1.2e-7), which made the upper clip a no-op —
         # once adam pushed a trained u past 1, log1p(-u_safe) hit -inf and

@@ -313,7 +313,21 @@ def batch_step_metadata(
         nuniq = np.empty((steps, 1), np.int32)
         prep = np.empty((steps, K), np.float32)
         if want_route:
-            n_resid = (K - pnew.sum(axis=1)).astype(np.int64)
+            # residuals list only positions whose CONTRIBUTION can be
+            # nonzero: the update's per-position contribution is
+            # where(own, new-old, 0) + prep*old (two_phase_sparse_adam_
+            # unique), and own == own_mask & rep — so a position that is
+            # neither logical-first (rep) nor physical-first (prep)
+            # contributes EXACTLY ZERO int32 to both planes.  Dropping
+            # those entries is bitwise-exact (int32 add of 0) and shrinks
+            # R at heavy duplication from K - n_phys to
+            # n_logical - n_phys (zipf-1.1 40M batch: 27.9k -> 4.4k,
+            # probe_zipf_contention.py round 4).  The physical-first
+            # position is always also logical-first (the stable sort puts
+            # each physical run's first element at its smallest logical
+            # id's first occurrence), so the residual set is
+            # logical-first & ~physical-first.
+            n_resid = ((newv & ~pnew).sum(axis=1)).astype(np.int64)
             # R_cap determines the resid_pos/resid_slot SHAPES, which the
             # jitted step program is specialized on — a drifting cap would
             # retrace (a 5-390 s remote compile per occurrence on this
@@ -352,7 +366,9 @@ def batch_step_metadata(
             nuniq[b, 0] = U
             if want_route:
                 accperm[b, :U] = ob[pnew[b]]
-                nb_res = ~pnew[b]
+                # logical-first & ~physical-first: the only positions with
+                # a possibly-nonzero contribution (see n_resid above)
+                nb_res = nb & ~pnew[b]
                 R = int(nb_res.sum())
                 resid_pos[b, :R] = ob[nb_res]
                 resid_slot[b, :R] = pgrp[b][nb_res]

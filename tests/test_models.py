@@ -232,3 +232,59 @@ def test_snr_stochastic_gates_opt_in(layout, batch):
 
     g = jax.grad(loss)(v["params"])
     assert float(jnp.max(jnp.abs(g["gate_1"]["alpha"]))) > 0
+
+
+@pytest.mark.parametrize("model_name", ["snr_trans", "mssm"])
+def test_snr_gate_alpha_per_connection(layout, batch, model_name):
+    """snr_gate_alpha='per_connection': the hard-concrete location alpha is
+    shaped like u (Louizos-style L0), so stochastic gates carry a learnable
+    PER-CONNECTION routing signal instead of one global rate (the
+    scalar-alpha drop-connect degeneration diagnosed in BASELINE.md).
+    Reference alpha is torch.rand(1) (snr_trans.py:13) — this is an
+    intended-mode extension."""
+    cfg = _cfg(model_name=model_name)
+    cfg.model_config.extra["snr_stochastic_gates"] = True
+    cfg.model_config.extra["snr_gate_alpha"] = "per_connection"
+    model = get_model(model_name, layout, cfg)
+    ids, dense = batch
+    v = model.init(jax.random.PRNGKey(0), ids, dense, None, train=False)
+    E = cfg.model_config.num_experts
+    a1 = v["params"]["gate_1"]["alpha"]
+    units0 = cfg.model_config.expert_dnn_hidden_units[0]
+    if model_name == "mssm":  # elementwise gate: alpha per (out, in, unit)
+        assert a1.shape == (E, E, units0)
+    else:  # SNR: alpha per (out, in) connection
+        assert a1.shape == (E, E)
+
+    def loss(p):
+        out = model.apply({"params": p}, ids, dense, None, train=True,
+                          rngs={"dropout": jax.random.PRNGKey(3)})
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(v["params"])["gate_1"]["alpha"]
+    # distinct connections receive DISTINCT gradients — the routing signal
+    # the scalar variant cannot represent
+    assert float(jnp.max(jnp.abs(g))) > 0
+    assert float(jnp.std(g)) > 0
+
+    # eval is deterministic and finite
+    e1 = model.apply(v, ids, dense, None, train=False)
+    e2 = model.apply(v, ids, dense, None, train=False)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    assert np.isfinite(np.asarray(e1)).all()
+
+
+def test_snr_gate_alpha_scalar_default_unchanged(layout, batch):
+    """Default snr_gate_alpha='scalar' keeps the reference-shaped (1,)
+    alpha and identical outputs to a build without the knob present."""
+    ids, dense = batch
+    outs = []
+    for extra in ({}, {"snr_gate_alpha": "scalar"}):
+        cfg = _cfg(model_name="snr_trans")
+        cfg.model_config.extra.update(extra)
+        model = get_model("snr_trans", layout, cfg)
+        v = model.init(jax.random.PRNGKey(0), ids, dense, None, train=False)
+        assert v["params"]["gate_1"]["alpha"].shape == (1,)
+        outs.append(np.asarray(
+            model.apply(v, ids, dense, None, train=False)))
+    np.testing.assert_array_equal(outs[0], outs[1])

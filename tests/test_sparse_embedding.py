@@ -761,7 +761,9 @@ def test_route_r_cap_quantized_and_monotone():
     # ~384 residuals would previously produce a 512-cap; the quantum is
     # the same here but 700 residuals must jump to 1024, not 768
     ids_dup = rng.integers(0, 90, (1, K)).astype(np.int64)  # heavy dups
-    n_resid = K - len(np.unique(ids_dup // P))
+    # resid lists only possibly-nonzero contributors: logical-first &
+    # ~physical-first (round-4 zipf pruning, probe_zipf_contention.py)
+    n_resid = len(np.unique(ids_dup)) - len(np.unique(ids_dup // P))
     cap = r_cap(ids_dup)
     assert cap >= n_resid and cap in (256, 512, 1024)
     assert cap & (cap - 1) == 0  # power of two
