@@ -69,6 +69,9 @@ def run(mode: str, vocab_per_feature: int = VOCAB, n_sparse: int = 16,
     # PAIR_GATHER=split|dual pins the stacked (table, monu) row fetch route
     if os.environ.get("PAIR_GATHER"):
         kw["pair_gather"] = os.environ["PAIR_GATHER"]
+    # UPDATE_SPACE=slot runs the slot-space update (round 4)
+    if os.environ.get("UPDATE_SPACE"):
+        kw["update_space"] = os.environ["UPDATE_SPACE"]
     cfg = make_config(**kw)
     cols = [SparseFeat(f"s{i}", vocab_per_feature, emb_dim)
             for i in range(n_sparse)] + [DenseFeat(f"d{i}", 1) for i in range(4)]

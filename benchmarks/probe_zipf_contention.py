@@ -96,6 +96,8 @@ def main(dists):
         batch_size=BATCH, two_phase_embedding=True,
         table_opt_dtype="bfloat16", table_update="pallas",
         table_container="stacked",
+        # UPDATE_SPACE=slot A/Bs the slot-space update (round 4)
+        update_space=os.environ.get("UPDATE_SPACE", "position"),
     )
     cols = [SparseFeat(f"s{i}", VOCAB, EMB_DIM) for i in range(N_SPARSE)] + [
         DenseFeat(f"d{i}", 1) for i in range(4)]
@@ -120,6 +122,15 @@ def main(dists):
 
     def run(kind):
         nonlocal state
+        # "slot:<dist>" runs the cell with update_space='slot' (same
+        # trainer/state — the folded layout is identical; the step body
+        # reads the attribute at trace time)
+        if kind.startswith("slot:"):
+            trainer.update_space = "slot"
+            kind = kind[5:]
+        else:
+            trainer.update_space = str(
+                os.environ.get("UPDATE_SPACE", "position"))
         # perf-only ABLATION cells (numerically wrong, shapes right):
         # zipf_noresid / zipf_nogdup / zipf_smallcaps truncate the resid /
         # gdup metadata to the uniform-sized 256 cap to attribute the zipf

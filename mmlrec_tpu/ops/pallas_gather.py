@@ -127,8 +127,13 @@ def pallas_rows_gather_hbm(
         interpret=bool(interpret),
     )(ids, table)
 
-def _dual_gather_kernel(chunk: int, ids_ref, stacked_ref, out_ref, sem):
+def _dual_gather_kernel(chunk: int, ids_ref, bounds_ref, stacked_ref,
+                        out_ref, sem):
     i = pl.program_id(0)
+    lo = bounds_ref[0]
+    hi = bounds_ref[1]
+    c0 = i * chunk
+    c1 = (i + 1) * chunk
 
     def issue(j):
         idx = ids_ref[i * chunk + j]
@@ -138,16 +143,36 @@ def _dual_gather_kernel(chunk: int, ids_ref, stacked_ref, out_ref, sem):
             sem,
         )
 
-    for j in range(chunk):
-        issue(j).start()
-    for j in range(chunk):
-        issue(j).wait()
+    # Only slots in [lo, hi) are fetched — tail pads are skipped entirely
+    # (slot-space update: pad slots' output rows stay uninitialized and
+    # are never consumed).  Full chunks run predicate-free, mirroring
+    # ops/pallas_scatter.py::_write_kernel.
+    full = (c0 >= lo) & (c1 <= hi)
+
+    @pl.when(full)
+    def _full():
+        for j in range(chunk):
+            issue(j).start()
+        for j in range(chunk):
+            issue(j).wait()
+
+    @pl.when((c1 > lo) & (c0 < hi) & ~full)
+    def _boundary():
+        for j in range(chunk):
+            @pl.when((c0 + j >= lo) & (c0 + j < hi))
+            def _s(j=j):
+                issue(j).start()
+        for j in range(chunk):
+            @pl.when((c0 + j >= lo) & (c0 + j < hi))
+            def _w(j=j):
+                issue(j).wait()
 
 
 def pallas_rows_gather_dual(
     stacked: jnp.ndarray,
     ids: jnp.ndarray,
     *,
+    n_real=None,
     chunk: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -160,17 +185,30 @@ def pallas_rows_gather_dual(
     plane 1 its packed (mu, nu) container row.
 
     ids may contain duplicates (reads race benignly).  K % chunk == 0.
+    ``n_real`` ([1] int32): ids[n_real:] are padding — their output rows
+    are skipped (zeros in the reference/interpreter paths, uninitialized
+    under Mosaic; callers must not consume them).
     INTERPRET MODES follow ops/pallas_scatter.py: ``True`` = fast pure-JAX
     reference (jnp.take along axis 1), ``"pallas"`` = genuine pallas
     interpreter, ``False`` = Mosaic.
     """
     assert stacked.ndim == 3 and stacked.shape[0] == 2, stacked.shape
-    if interpret and interpret != "pallas":
-        return jnp.take(stacked, ids, axis=1)
     K = ids.shape[0]
+    if n_real is None:
+        bounds = jnp.asarray([0, K], jnp.int32)
+    else:
+        bounds = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), n_real.astype(jnp.int32).reshape(1)]
+        )
+    if interpret and interpret != "pallas":
+        got = jnp.take(stacked, ids, axis=1)
+        if n_real is None:
+            return got
+        valid = (jnp.arange(K) < bounds[1])[None, :, None]
+        return jnp.where(valid, got, 0)
     assert K % chunk == 0, (K, chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(K // chunk,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -182,4 +220,4 @@ def pallas_rows_gather_dual(
             (2, K, stacked.shape[2]), stacked.dtype),
         grid_spec=grid_spec,
         interpret=bool(interpret),
-    )(ids, stacked)
+    )(ids, bounds, stacked)

@@ -501,6 +501,129 @@ def two_phase_sparse_adam(
     return table, SparseAdamState(mu=mu, nu=nu, count=count)
 
 
+def two_phase_sparse_adam_slot(
+    table: jnp.ndarray,  # [2Vp, W] folded table+moment container
+    g_rows: jnp.ndarray,  # [K, D] cotangent w.r.t. the gathered rows
+    flat_ids: jnp.ndarray,  # [K] logical row ids (duplicates OK)
+    rep: jnp.ndarray,  # [K] 1.0 at first occurrences
+    pids: jnp.ndarray,  # [Kp] unique sorted PHYSICAL rows
+    n_real,  # [1] int32: pids[n_real:] are padding
+    sup_slot: jnp.ndarray,  # [Kp, W] old table rows AT SLOTS (pair-gather)
+    monu_slot: jnp.ndarray,  # [Kp, W] old container rows AT SLOTS
+    state: "SparseAdamFoldedState",
+    lr: float,
+    accperm: jnp.ndarray,  # [Kp] designated (phys-first) contributor pos
+    resid_pos: jnp.ndarray,  # [R_cap] pruned residual positions
+    resid_slot: jnp.ndarray,  # [R_cap] their slots (Kp = drop)
+    gdup_pos: jnp.ndarray,  # [G_cap] logical-dup gradient positions
+    gdup_tgt: jnp.ndarray,  # [G_cap] their first-occurrence targets
+    pack_factor: int = 1,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    interpret: bool = False,
+    chunk: int = 256,
+):
+    """SLOT-SPACE SparseAdam for the stacked container (round 4).
+
+    two_phase_sparse_adam_unique computes everything in POSITION space
+    [K, W] and int32-routes two accumulated contribution planes to slots.
+    This variant instead routes ONE plane — the masked wide gradient —
+    plus a [K, P] lane-ownership plane, and runs the whole wide-lane Adam
+    chain directly at slot granularity on the slot-gathered old rows
+    (ops/pallas_gather.py pallas_rows_gather_dual by ``pids`` with
+    ``n_real`` skip).  Wins scale with duplication: the pair-gather and
+    the math touch n_phys_unique rows instead of K (33k vs 65k at
+    zipf-1.1 on the 40M batch) and the route moves half the plane bytes.
+
+    Bitwise-identical to the position path: per owned lane the identical
+    scalar op chain runs on identical inputs (the slot row's bits == the
+    position row's bits; the routed gradient lane == acc_contrib's lane),
+    non-owned/untouched lanes keep their exact old bits via selects, and
+    pad slots (garbage under Mosaic's skipped gather) are never written
+    (write kernel n_real).  Pinned by
+    test_trainer_update_space_slot_matches_position.
+
+    Requires the PRUNED residual metadata (logical-first & ~phys-first,
+    batch_step_metadata round 4): each (slot, lane) then has exactly one
+    possibly-nonzero contributor, so int32 routing places the gradient
+    bits exactly.  (Unpruned metadata also works — the extra contributors
+    carry zero — it is just slower.)
+
+    Reference parity: same exact SparseAdam the reference's dense Adam
+    cannot run at this scale (model/basemodel.py:569-584).
+    """
+    from ..ops.pallas_scatter import pallas_rows_write_dual
+
+    dim = g_rows.shape[-1]
+    K = g_rows.shape[0]
+    P = pack_factor
+    W = table.shape[1]
+    assert table.shape[0] % 2 == 0, table.shape
+    Vp = table.shape[0] // 2
+    Kp = pids.shape[0]
+    count = state.count + 1
+    t = count.astype(jnp.float32)
+
+    # per-unique-logical-id gradient sums at first occurrences (gdup route)
+    g_sum = g_rows.at[gdup_tgt].add(g_rows[gdup_pos], mode="drop")
+    rep_b = rep > 0
+    if P > 1:
+        own_mask = (
+            (jnp.arange(P * dim, dtype=jnp.int32) // dim)[None, :]
+            == (flat_ids % P).astype(jnp.int32)[:, None]
+        )  # [K, W]
+        g_wide = jnp.broadcast_to(
+            g_sum[:, None, :], (K, P, dim)).reshape(K, W)
+        gw = jnp.where(own_mask & rep_b[:, None], g_wide, 0.0)
+        ow = (
+            (jnp.arange(P, dtype=jnp.int32)[None, :]
+             == (flat_ids % P).astype(jnp.int32)[:, None])
+            & rep_b[:, None]
+        ).astype(jnp.int32)  # [K, P]
+    else:
+        gw = jnp.where(rep_b[:, None], g_sum, 0.0)
+        ow = rep_b[:, None].astype(jnp.int32)  # [K, 1]
+
+    # ONE-plane int32 route: each (slot, lane) has at most one nonzero
+    # contributor (the owning logical id's first occurrence), so integer
+    # adds place the f32 bits exactly (-0.0 and NaN payloads included)
+    gwi = jax.lax.bitcast_convert_type(gw, jnp.int32)
+    g_slot = jax.lax.bitcast_convert_type(
+        gwi[accperm].at[resid_slot].add(gwi[resid_pos], mode="drop"),
+        jnp.float32,
+    )  # [Kp, W]
+    ow_slot = ow[accperm].at[resid_slot].add(
+        ow[resid_pos], mode="drop")  # [Kp, P or 1]
+    touched = jnp.broadcast_to(
+        (ow_slot > 0)[:, :, None], (Kp, ow_slot.shape[1], W // ow_slot.shape[1])
+    ).reshape(Kp, W)
+
+    # wide-lane Adam chain at SLOT granularity — per owned lane the same
+    # scalar sequence as the position path (bitwise pins hold); untouched
+    # lanes compute garbage that the selects below discard
+    mu_w, nu_w = unpack_monu_f32(monu_slot)
+    new_mu_w = b1 * mu_w + (1.0 - b1) * g_slot
+    new_nu_w = b2 * nu_w + (1.0 - b2) * g_slot * g_slot
+    mu_hat_w = new_mu_w / (1.0 - b1**t)
+    nu_hat_w = new_nu_w / (1.0 - b2**t)
+    d_w = -lr * mu_hat_w / (jnp.sqrt(nu_hat_w) + eps)
+    # selects, not adds: untouched lanes keep their exact old BITS (an
+    # f32 `old + 0.0` would canonicalize -0.0)
+    new_t = jnp.where(touched, sup_slot + d_w, sup_slot)
+    new_monu = jnp.where(
+        touched, pack_monu_rounded(new_mu_w, new_nu_w), monu_slot)
+    new_stacked = pallas_rows_write_dual(
+        table.reshape(2, Vp, W),
+        pids,
+        jnp.stack([new_t, new_monu]),
+        n_real=n_real,
+        chunk=min(chunk, Kp),
+        interpret=interpret,
+    )
+    return new_stacked.reshape(table.shape), SparseAdamFoldedState(count=count)
+
+
 def two_phase_sparse_adam_unique(
     table: jnp.ndarray,
     g_rows: jnp.ndarray,  # [K, D] cotangent w.r.t. the gathered rows

@@ -374,6 +374,31 @@ class Trainer:
             raise ValueError(
                 "pair_gather='dual' requires table_container='stacked'"
             )
+        # update_space="slot": run the table update's gather + wide-lane
+        # Adam math at unique-physical-SLOT granularity instead of
+        # position granularity (train/sparse_embedding.py
+        # two_phase_sparse_adam_slot) — the pair-gather and math touch
+        # n_phys_unique rows instead of K and the dedup route moves ONE
+        # plane, so wins scale with duplication.  Same-window 40M A/B
+        # (probe_zipf_contention.py): zipf-1.1 3.29 vs 3.50 ms, uniform
+        # 2.82 vs 2.57 — "auto" (default) picks slot when the first
+        # metadata batch shows >= 25% physical-row duplication, else
+        # position; sticky once resolved.  Bitwise-pinned to the
+        # position path either way.
+        self.update_space = str(mc.extra.get("update_space", "auto"))
+        if self.update_space not in ("auto", "position", "slot"):
+            raise ValueError(
+                f"update_space must be auto|position|slot, got "
+                f"{self.update_space!r}"
+            )
+        if self.update_space == "slot":
+            if self.table_container != "stacked":
+                raise ValueError(
+                    "update_space='slot' requires table_container='stacked'")
+            if getattr(self, "dedup_route", "scatter") != "gather":
+                raise ValueError(
+                    "update_space='slot' requires dedup_route='gather' "
+                    "(the slot route rides the accperm/resid metadata)")
         if self.two_phase_embedding and (
             self.is_pcgrad
             or mc.extra.get("use_gradnorm")
@@ -697,7 +722,28 @@ class Trainer:
         # fetched together by the dual pair-gather kernel (pair_gather).
         phys = flat_ids // P if P > 1 else flat_ids
         sup_c = None
-        if (
+        slot_mode = (
+            getattr(self, "update_space", "position") == "slot"
+            and len(batch) > 11
+        )
+        if slot_mode:
+            # SLOT-SPACE phase 1 (round 4): pair-gather the n_phys_unique
+            # slot rows once (pids, n_real skip) and derive the position
+            # super-rows from them with a small-array take — at heavy
+            # duplication this fetches far fewer big-table pairs than the
+            # per-position gather (33k vs 65k at zipf-1.1).
+            from ..ops.pallas_gather import pallas_rows_gather_dual
+
+            Vp = table.shape[0] // 2
+            pair = pallas_rows_gather_dual(
+                table.reshape(2, Vp, table.shape[1]),
+                batch[7].astype(jnp.int32),  # pids
+                n_real=batch[9],  # nuniq
+                interpret=self._pallas_interpret,
+            )
+            sup_slot, monu_slot = pair[0], pair[1]
+            sup = jnp.take(sup_slot, batch[8], axis=0)  # pinv -> positions
+        elif (
             getattr(self, "pair_gather", "split") == "dual"
             and (B * F) % 256 == 0
         ):
@@ -726,7 +772,27 @@ class Trainer:
                 self._loss_terms_injected, argnums=(0, 2), has_aux=True
             )(rest, table, rows, batch_stats, batch, step_rng)
         )
-        if self.table_update != "scatter":
+        if slot_mode:
+            from .sparse_embedding import two_phase_sparse_adam_slot
+
+            new_table, new_table_opt = two_phase_sparse_adam_slot(
+                table,
+                g_rows.reshape(B * F, self._emb_dim),
+                flat_ids,
+                rep,
+                batch[7],  # pids
+                batch[9],  # nuniq
+                sup_slot,
+                monu_slot,
+                state["table_opt"],
+                lr=self.cfg.optim_config.lr,
+                accperm=batch[11], resid_pos=batch[12],
+                resid_slot=batch[13], gdup_pos=batch[14],
+                gdup_tgt=batch[15],
+                pack_factor=P,
+                interpret=self._pallas_interpret,
+            )
+        elif self.table_update != "scatter":
             from .sparse_embedding import two_phase_sparse_adam_unique
 
             pids, pinv, nuniq, prep = (
@@ -1108,6 +1174,25 @@ class Trainer:
             rows = -(-rows // (P * 128)) * (P * 128)
         return rows // P
 
+    def _resolve_update_space(self, flat: np.ndarray) -> None:
+        """Resolve update_space='auto' from the FIRST metadata batch's
+        physical-row duplication (sticky for the trainer's lifetime so
+        the jitted step program never flips mid-fit).  Crossover from the
+        same-window 40M A/B: slot wins from ~25% duplication up
+        (docs/perf_notes.md round 4)."""
+        if self.update_space != "auto":
+            return
+        if (
+            self.table_container != "stacked"
+            or getattr(self, "dedup_route", "scatter") != "gather"
+        ):
+            self.update_space = "position"
+            return
+        P = self._emb_pack_factor
+        K = flat.shape[1]
+        dup = 1.0 - len(np.unique(flat[0] // P if P > 1 else flat[0])) / K
+        self.update_space = "slot" if dup >= 0.25 else "position"
+
     def _step_metadata(self, flat: np.ndarray) -> tuple:
         """Per-batch host metadata stacks for flat [steps, K] logical ids:
         (inv, rep) under the default scatter update, plus
@@ -1115,6 +1200,7 @@ class Trainer:
         (train/sparse_embedding.py batch_step_metadata)."""
         from .sparse_embedding import batch_step_metadata
 
+        self._resolve_update_space(flat)
         if self.table_update == "scatter":
             return batch_step_metadata(flat)
         want_route = getattr(self, "dedup_route", "scatter") == "gather"

@@ -254,3 +254,32 @@ def test_pallas_rows_gather_hbm_reference_matches_interpreter():
     np.testing.assert_array_equal(
         np.asarray(ref), np.asarray(jnp.take(table, ids, axis=0))
     )
+
+
+def test_pallas_rows_gather_dual_n_real_matches_interpreter():
+    """pallas_rows_gather_dual with n_real: real slots fetch [2, 1, W]
+    strided pairs, tail pads are skipped (zeros in reference/interpreter);
+    the slot-space update's phase-1 gather (round 4)."""
+    from mmlrec_tpu.ops.pallas_gather import pallas_rows_gather_dual
+
+    V, W, K = 64, 128, 16
+    rng = np.random.RandomState(3)
+    ids = jnp.asarray(rng.choice(V, size=K, replace=True).astype(np.int32))
+    stacked = jnp.asarray(rng.rand(2, V, W).astype(np.float32))
+    n_real = jnp.asarray([11], jnp.int32)
+    ref = pallas_rows_gather_dual(stacked, ids, n_real=n_real, chunk=4,
+                                  interpret=True)
+    got = pallas_rows_gather_dual(stacked, ids, n_real=n_real, chunk=4,
+                                  interpret="pallas")
+    # pad rows are undefined (NaN sentinel in the interpreter, zeros in
+    # the reference, uninitialized under Mosaic) — pin the REAL slots
+    np.testing.assert_array_equal(np.asarray(got)[:, :11],
+                                  np.asarray(ref)[:, :11])
+    want = np.array(jnp.take(stacked, ids, axis=1))
+    want[:, 11:] = 0.0
+    np.testing.assert_array_equal(np.asarray(ref), want)
+
+    # n_real=None keeps the original full-fetch contract
+    full = pallas_rows_gather_dual(stacked, ids, chunk=4, interpret="pallas")
+    np.testing.assert_array_equal(
+        np.asarray(full), np.asarray(jnp.take(stacked, ids, axis=1)))

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mmlrec_tpu.models import get_model
 from mmlrec_tpu.synthetic import make_config, make_data
@@ -978,3 +979,82 @@ def test_route_bitwise_at_pack_factor_16():
     np.testing.assert_array_equal(
         np.asarray(gs_old)[m].view(np.uint32),
         np.asarray(gs_new)[m].view(np.uint32))
+
+
+def test_trainer_update_space_slot_matches_position():
+    """update_space='slot' (slot-space pair-gather + one-plane route +
+    slot-granularity wide-lane Adam, two_phase_sparse_adam_slot) is
+    BITWISE equal to the position-space stacked path — heavy-duplicate
+    data (vocab 80) exercises the routed gradients and residuals."""
+    kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+              n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,), epochs=2,
+              batch_size=64, lr=3e-3, two_phase_embedding=True, vocab=80,
+              table_update="pallas", table_opt_dtype="bfloat16",
+              table_container="stacked", dedup_route="gather")
+    outs = {}
+    for space in ("position", "slot"):
+        cfg = make_config(**kw, update_space=space)
+        layout, x, y, _ = make_data(cfg, n=320, seed=0, vocab=80)
+        model = get_model("sharedbottom", layout, cfg)
+        tr = Trainer(model, seed=0).compile()
+        assert tr.update_space == space
+        tr.fit(x, y, batch_size=64, epochs=2, verbose=0)
+        outs[space] = tr
+    a = np.asarray(
+        outs["position"].variables["params"]["embeddings"]["fused"]["table"])
+    b = np.asarray(
+        outs["slot"].variables["params"]["embeddings"]["fused"]["table"])
+    np.testing.assert_array_equal(a, b)
+    cfg = make_config(**kw, update_space="slot")
+    layout, x, y, _ = make_data(cfg, n=320, seed=0, vocab=80)
+    p1 = np.asarray(outs["position"].predict(x, 64))
+    p2 = np.asarray(outs["slot"].predict(x, 64))
+    np.testing.assert_array_equal(p1, p2)
+
+
+def test_trainer_update_space_slot_validation():
+    """update_space='slot' validates its prerequisites."""
+    kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+              n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,),
+              batch_size=64, lr=3e-3, two_phase_embedding=True, vocab=80,
+              table_update="pallas", table_opt_dtype="bfloat16")
+    cfg = make_config(**kw, update_space="slot", table_container="split")
+    layout, x, y, _ = make_data(cfg, n=128, seed=0, vocab=80)
+    with pytest.raises(ValueError, match="stacked"):
+        Trainer(get_model("sharedbottom", layout, cfg), seed=0).compile()
+    cfg = make_config(**kw, update_space="bogus")
+    with pytest.raises(ValueError, match="position|slot"):
+        Trainer(get_model("sharedbottom", layout, cfg), seed=0).compile()
+
+
+def test_trainer_update_space_auto_resolution():
+    """update_space='auto' (the default) resolves from the first metadata
+    batch's physical duplication: heavy-duplicate data -> slot, near-unique
+    -> position; sticky once resolved."""
+    kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+              n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,),
+              batch_size=64, lr=3e-3, two_phase_embedding=True,
+              table_update="pallas", table_opt_dtype="bfloat16",
+              table_container="stacked", dedup_route="gather")
+    # vocab 80: 64*4 ids over 320 rows -> heavy duplication -> slot
+    cfg = make_config(**kw, vocab=80)
+    layout, x, y, _ = make_data(cfg, n=192, seed=0, vocab=80)
+    tr = Trainer(get_model("sharedbottom", layout, cfg), seed=0).compile()
+    assert tr.update_space == "auto"
+    tr.fit(x, y, batch_size=64, epochs=1, verbose=0)
+    assert tr.update_space == "slot"
+    assert np.isfinite(tr.history[-1]["loss"])
+
+    # huge vocab -> near-unique batches -> position
+    cfg = make_config(**kw, vocab=50000)
+    layout, x, y, _ = make_data(cfg, n=192, seed=0, vocab=50000)
+    tr = Trainer(get_model("sharedbottom", layout, cfg), seed=0).compile()
+    tr.fit(x, y, batch_size=64, epochs=1, verbose=0)
+    assert tr.update_space == "position"
+
+    # split container: auto falls back to position
+    cfg = make_config(**{**kw, "table_container": "split"}, vocab=80)
+    layout, x, y, _ = make_data(cfg, n=192, seed=0, vocab=80)
+    tr = Trainer(get_model("sharedbottom", layout, cfg), seed=0).compile()
+    tr.fit(x, y, batch_size=64, epochs=1, verbose=0)
+    assert tr.update_space == "position"
