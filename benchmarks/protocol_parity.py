@@ -102,6 +102,11 @@ def main() -> None:
         if args.intended:
             config["model_config"]["snr_stochastic_gates"] = True
             config["model_config"]["masked_loss"] = True
+            # GATE_ALPHA=per_connection: round-4 Louizos-style fix for the
+            # scalar stochastic-gate degeneration (see protocol_parity_msl)
+            if os.environ.get("GATE_ALPHA"):
+                config["model_config"]["snr_gate_alpha"] = (
+                    os.environ["GATE_ALPHA"])
         for seed in seeds:
             key = f"{model_name}_seed{seed}"
             if key in done:
