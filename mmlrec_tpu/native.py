@@ -126,3 +126,74 @@ def load_csv_columns(
         return out, vocabs, int(train_rows), int(rows)
     finally:
         lib.fc_free(handle)
+
+
+# ---------------------------------------------------------------------------
+# native two-phase step metadata (native/step_metadata.cpp)
+# ---------------------------------------------------------------------------
+
+_META_LIB_PATH = os.path.join(_NATIVE_DIR, "libstepmeta.so")
+_meta_lib = None
+_I32P = ctypes.POINTER(ctypes.c_int32)
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_F32P = ctypes.POINTER(ctypes.c_float)
+
+
+def get_meta_lib():
+    """ctypes handle for the single-pass metadata kernel; builds on first
+    use and raises NativeUnavailable when no toolchain exists."""
+    global _meta_lib
+    with _lock:
+        if _meta_lib is not None:
+            return _meta_lib
+        if not os.path.exists(_META_LIB_PATH):
+            _build()
+        try:
+            lib = ctypes.CDLL(_META_LIB_PATH)
+        except OSError as e:
+            raise NativeUnavailable(str(e)) from e
+        lib.sm_counts.restype = None
+        lib.sm_counts.argtypes = [
+            _I64P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, _I64P, _I64P, ctypes.c_int32,
+        ]
+        lib.sm_fill.restype = None
+        lib.sm_fill.argtypes = [
+            _I64P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            _I32P, _F32P, _I32P, _I32P, _I32P, _F32P,
+            _I32P, _I32P, _I32P, _I32P, _I32P, ctypes.c_int32,
+        ]
+        _meta_lib = lib
+        return _meta_lib
+
+
+def _p(arr, ptr_t):
+    return arr.ctypes.data_as(ptr_t) if arr is not None else None
+
+
+def step_metadata_counts(comp, idx_bits, pack_factor, n_threads=0):
+    lib = get_meta_lib()
+    steps, K = comp.shape
+    n_resid = np.empty(steps, np.int64)
+    n_ldup = np.empty(steps, np.int64)
+    lib.sm_counts(_p(comp, _I64P), steps, K, idx_bits, pack_factor,
+                  _p(n_resid, _I64P), _p(n_ldup, _I64P),
+                  n_threads or min(steps, os.cpu_count() or 1))
+    return n_resid, n_ldup
+
+
+def step_metadata_fill(comp, idx_bits, pack_factor, Kp, R_cap, G_cap,
+                       inv, rep, pids, pinv, nuniq, prep,
+                       accperm, resid_pos, resid_slot, gdup_pos, gdup_tgt,
+                       n_threads=0):
+    lib = get_meta_lib()
+    steps, K = comp.shape
+    lib.sm_fill(
+        _p(comp, _I64P), steps, K, idx_bits, pack_factor, Kp, R_cap, G_cap,
+        _p(inv, _I32P), _p(rep, _F32P), _p(pids, _I32P), _p(pinv, _I32P),
+        _p(nuniq, _I32P), _p(prep, _F32P), _p(accperm, _I32P),
+        _p(resid_pos, _I32P), _p(resid_slot, _I32P),
+        _p(gdup_pos, _I32P), _p(gdup_tgt, _I32P),
+        n_threads or min(steps, os.cpu_count() or 1),
+    )

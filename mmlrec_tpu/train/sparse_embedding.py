@@ -235,6 +235,49 @@ def batch_dedup_metadata(flat_ids: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return batch_step_metadata(flat_ids)[:2]
 
 
+def _quantized_cap(need: int) -> int:
+    """256 * 2^k shape quantum for the route residual caps (see the R_cap
+    comment inside batch_step_metadata)."""
+    cap = 256
+    while cap < need:
+        cap *= 2
+    return cap
+
+
+def _native_step_metadata(comp, idx_bits, pack_factor, Kp, want_route,
+                          r_cap_min):
+    """Single-pass C++ metadata (native/step_metadata.cpp) from the sorted
+    composite; output-identical to the numpy formulation below."""
+    from ..native import step_metadata_counts, step_metadata_fill
+
+    steps, K = comp.shape
+    comp = np.ascontiguousarray(comp)
+    inv = np.empty((steps, K), np.int32)
+    rep = np.empty((steps, K), np.float32)
+    pids = np.empty((steps, Kp), np.int32)
+    pinv = np.empty((steps, K), np.int32)
+    nuniq = np.empty((steps, 1), np.int32)
+    prep = np.empty((steps, K), np.float32)
+    if not want_route:
+        step_metadata_fill(comp, idx_bits, pack_factor, Kp, 0, 0,
+                           inv, rep, pids, pinv, nuniq, prep,
+                           None, None, None, None, None)
+        return inv, rep, pids, pinv, nuniq, prep
+    n_resid, n_ldup = step_metadata_counts(comp, idx_bits, pack_factor)
+    R_cap = _quantized_cap(max(int(n_resid.max(initial=0)), int(r_cap_min)))
+    G_cap = _quantized_cap(max(int(n_ldup.max(initial=0)), int(r_cap_min)))
+    accperm = np.zeros((steps, Kp), np.int32)
+    resid_pos = np.zeros((steps, R_cap), np.int32)
+    resid_slot = np.full((steps, R_cap), Kp, np.int32)  # Kp = drop
+    gdup_pos = np.zeros((steps, G_cap), np.int32)
+    gdup_tgt = np.full((steps, G_cap), K, np.int32)  # K = drop
+    step_metadata_fill(comp, idx_bits, pack_factor, Kp, R_cap, G_cap,
+                       inv, rep, pids, pinv, nuniq, prep,
+                       accperm, resid_pos, resid_slot, gdup_pos, gdup_tgt)
+    return (inv, rep, pids, pinv, nuniq, prep, accperm, resid_pos,
+            resid_slot, gdup_pos, gdup_tgt)
+
+
 def batch_step_metadata(
     flat_ids: np.ndarray,
     pack_factor: int | None = None,
@@ -242,6 +285,7 @@ def batch_step_metadata(
     chunk: int = 256,
     want_route: bool = False,
     r_cap_min: int = 0,
+    use_native: bool | None = None,
 ):
     """All host-side per-batch metadata from ONE batched argsort.
 
@@ -279,7 +323,7 @@ def batch_step_metadata(
     then hold g[j] instead of 0, which every consumer masks (rep/own).
     """
     steps, K = flat_ids.shape
-    flat = flat_ids.astype(np.int64)
+    flat = np.asarray(flat_ids, np.int64)  # no copy when already int64
     # stable value-sort with index tracking via ONE plain np.sort of a
     # (value << idx_bits | index) composite: np.argsort costs ~6.5 ms per
     # 65k-row batch while np.sort costs ~0.3 ms (no index permutation
@@ -287,22 +331,38 @@ def batch_step_metadata(
     idx_bits = max(1, int(K - 1).bit_length())
     assert int(flat.max(initial=0)) < (1 << (63 - idx_bits)), "id overflow"
     comp = np.sort((flat << idx_bits) | np.arange(K, dtype=np.int64), axis=1)
-    order = (comp & ((1 << idx_bits) - 1)).astype(np.int64)
+    want_phys = pack_factor is not None
+    if want_phys:
+        if n_phys_rows is None:
+            raise ValueError("n_phys_rows required with pack_factor")
+        Kp_n = -(-K // chunk) * chunk
+        if n_phys_rows <= Kp_n:
+            raise ValueError(
+                f"unique-update metadata needs n_phys_rows > {Kp_n}, "
+                f"got {n_phys_rows}"
+            )
+        if use_native is not False:
+            # single-pass C++ kernel (native/step_metadata.cpp): the numpy
+            # formulation below needs ~10 full passes at 4.6-6.4 ms per
+            # 65k-id batch — slower than the 2.5 ms device step it feeds;
+            # the native pass is ~L2-resident and threads over batches.
+            # Output-identical (test_native_step_metadata_matches_numpy).
+            from ..native import NativeUnavailable
+
+            try:
+                return _native_step_metadata(
+                    comp, idx_bits, pack_factor, Kp_n, want_route, r_cap_min)
+            except NativeUnavailable:
+                if use_native:  # explicit request -> surface the failure
+                    raise
+    order = (comp & ((1 << idx_bits) - 1)).astype(np.int32)
     svals = comp >> idx_bits
     newv = np.ones((steps, K), bool)
     newv[:, 1:] = svals[:, 1:] != svals[:, :-1]
     inv = np.empty((steps, K), np.int32)
     rep = np.zeros((steps, K), np.float32)
-    want_phys = pack_factor is not None
     if want_phys:
-        if n_phys_rows is None:
-            raise ValueError("n_phys_rows required with pack_factor")
-        Kp = -(-K // chunk) * chunk
-        if n_phys_rows <= Kp:
-            raise ValueError(
-                f"unique-update metadata needs n_phys_rows > {Kp}, "
-                f"got {n_phys_rows}"
-            )
+        Kp = Kp_n
         psvals = svals // pack_factor  # still sorted (// is monotone)
         pnew = np.ones((steps, K), bool)
         pnew[:, 1:] = psvals[:, 1:] != psvals[:, :-1]
@@ -350,20 +410,33 @@ def batch_step_metadata(
                 max(int(n_ldup.max(initial=0)), int(r_cap_min)))
             gdup_pos = np.zeros((steps, G_cap), np.int32)
             gdup_tgt = np.full((steps, G_cap), K, np.int32)  # K = drop
-    grp_all = np.cumsum(newv, axis=1, dtype=np.int32) - 1
-    for b in range(steps):
+    # ---- vectorized-over-batches core (round 4b) ----
+    # The per-batch fancy-indexing loop cost ~4-7 ms/batch at K=65k —
+    # MORE than the 2.5 ms device step it feeds, making full-shuffle fits
+    # host-bound.  The run-start spreading and all position-space scatters
+    # are batch-vectorizable: run-start POSITIONS are monotone, so a
+    # maximum.accumulate forward-fill spreads each run's first sorted
+    # index, and put_along_axis replaces every `arr[b, order[b]] = x`
+    # scatter.  Only the ragged extractions (pids/accperm/resid/gdup
+    # lists) stay in a per-batch loop — contiguous mask-compressions, not
+    # per-element indexing.  Output-identical to the loop form (pinned by
+    # the existing metadata tests).
+    pos = np.arange(K, dtype=np.int32)[None, :]
+    start_pos = np.maximum.accumulate(np.where(newv, pos, 0), axis=1)
+    # original index of each run's FIRST element, spread over the run
+    fs_sorted = np.take_along_axis(order, start_pos, axis=1)
+    np.put_along_axis(inv, order, fs_sorted, axis=1)
+    np.put_along_axis(rep, order, newv.astype(np.float32), axis=1)
+    if want_phys:
+        np.put_along_axis(pinv, order, pgrp, axis=1)
+        np.put_along_axis(prep, order, pnew.astype(np.float32), axis=1)
+        nuniq[:, 0] = pnew.sum(axis=1, dtype=np.int32)
+    for b in range(steps if want_phys else 0):
         ob, nb = order[b], newv[b]
-        # spread the group-start original index to every sorted position
-        first_sorted = ob[nb]  # original index of each run's first element
-        inv[b, ob] = first_sorted[grp_all[b]]
-        rep[b, first_sorted] = 1.0
         if want_phys:
             u = psvals[b][pnew[b]]
             U = len(u)
             pids[b, :U] = u
-            pinv[b, ob] = pgrp[b]
-            prep[b, ob] = pnew[b]
-            nuniq[b, 0] = U
             if want_route:
                 accperm[b, :U] = ob[pnew[b]]
                 # logical-first & ~physical-first: the only positions with
@@ -375,7 +448,7 @@ def batch_step_metadata(
                 ldm = ~nb  # non-first LOGICAL occurrences (sorted order)
                 L = int(ldm.sum())
                 gdup_pos[b, :L] = ob[ldm]
-                gdup_tgt[b, :L] = first_sorted[grp_all[b]][ldm]
+                gdup_tgt[b, :L] = fs_sorted[b][ldm]
             if U < Kp:
                 # distinct untouched rows at the TAIL (see
                 # batch_phys_metadata): the first non-members of u in

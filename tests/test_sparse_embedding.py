@@ -1058,3 +1058,44 @@ def test_trainer_update_space_auto_resolution():
     tr = Trainer(get_model("sharedbottom", layout, cfg), seed=0).compile()
     tr.fit(x, y, batch_size=64, epochs=1, verbose=0)
     assert tr.update_space == "position"
+
+
+def test_native_step_metadata_matches_numpy():
+    """The single-pass C++ metadata kernel (native/step_metadata.cpp) is
+    output-identical to the numpy formulation across uniform / zipfian /
+    degenerate duplicate structures, caps and floors included."""
+    pytest.importorskip("ctypes")
+    from mmlrec_tpu.train.sparse_embedding import batch_step_metadata
+
+    try:
+        from mmlrec_tpu.native import get_meta_lib
+
+        get_meta_lib()
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(0)
+    K, P, V = 512, 4, 4096
+    cases = {
+        "uniform": rng.integers(0, V, (3, K)),
+        "heavy": rng.integers(0, 60, (2, K)),
+        "zipfish": (rng.zipf(1.2, (2, K)) - 1) % V,
+        "all_same": np.full((1, K), 7),
+        "all_unique": rng.permutation(V)[:K][None, :],
+    }
+    for name, ids in cases.items():
+        ids = ids.astype(np.int64)
+        for want_route in (False, True):
+            for r_cap_min in (0, 512):
+                a = batch_step_metadata(
+                    ids, P, V, want_route=want_route, r_cap_min=r_cap_min,
+                    use_native=False)
+                b = batch_step_metadata(
+                    ids, P, V, want_route=want_route, r_cap_min=r_cap_min,
+                    use_native=True)
+                assert len(a) == len(b), name
+                for i, (x, y) in enumerate(zip(a, b)):
+                    np.testing.assert_array_equal(
+                        np.asarray(x), np.asarray(y),
+                        err_msg=f"{name} route={want_route} "
+                                f"floor={r_cap_min} out[{i}]")
