@@ -1575,6 +1575,14 @@ class Trainer:
                         steps_per_epoch, batch_size * ids.shape[1]
                     )
                     block_dedup = self._step_metadata(flat)
+                    # stage the per-batch metadata stacks ONCE: re-uploading
+                    # them each epoch (~1.5 MB/batch over the relay) was the
+                    # dominant e2e fit cost at production vocab — 15 s/epoch
+                    # against a 0.6 s device epoch (bench_40m_fit_e2e.py,
+                    # docs/perf_notes.md round 4b).  Per-epoch reordering
+                    # happens ON DEVICE with one [steps] index take.
+                    block_dedup = tuple(
+                        self._to_mesh(a) for a in block_dedup)
             else:
                 staged = self._stage_dataset(ids, dense, y, dmask)
                 step_dev = self._make_gather_step()
@@ -1620,6 +1628,12 @@ class Trainer:
                 ids_e = ids[idx_e.reshape(steps_e, batch_size)]
                 flat = (ids_e.astype(np.int64) + offs).reshape(steps_e, -1)
                 meta_e = self._step_metadata(flat)
+                # stage from the worker: the epoch metadata stack is
+                # ~1.5 MB/batch — uploading it at epoch START serialized a
+                # multi-second relay transfer against an idle device
+                # (bench_40m_fit_e2e.py round 4b); device_put here lets the
+                # transfer ride during the PREVIOUS epoch's dispatches
+                meta_e = tuple(self._to_mesh(a) for a in meta_e)
             return idx_e, w_e, take_e, meta_e
 
         for epoch in range(initial_epoch, epochs):
@@ -1658,8 +1672,13 @@ class Trainer:
                     w2d_dev = self._to_mesh(block_w[batch_order])
                     dedup_dev = None
                     if block_dedup is not None:
+                        # per-epoch batch reorder ON DEVICE (the stacks were
+                        # staged once above); one [steps]-index take per array
+                        order_dev = self._to_mesh(
+                            batch_order.astype(np.int32))
                         dedup_dev = tuple(
-                            self._to_mesh(a[batch_order]) for a in block_dedup
+                            jnp.take(a, order_dev, axis=0)
+                            for a in block_dedup
                         )
                     if self._scan_steps:
                         pos = 0
@@ -1729,11 +1748,7 @@ class Trainer:
                     w2d_dev = self._to_mesh(
                         w_full.reshape(steps_this_epoch, batch_size)
                     )
-                    dedup_dev = (
-                        tuple(self._to_mesh(a) for a in meta_np)
-                        if meta_np is not None
-                        else None
-                    )
+                    dedup_dev = meta_np  # staged by _fs_host_prep already
                     if self._scan_steps:
                         pos = 0
                         while pos < steps_this_epoch:
