@@ -36,7 +36,19 @@ def _build() -> None:
             timeout=300,
         )
     except Exception as e:  # noqa: BLE001
-        raise NativeUnavailable(f"could not build libfastcsv: {e}") from e
+        raise NativeUnavailable(f"could not build native libs: {e}") from e
+
+
+def _stale(so_path: str) -> bool:
+    """True when the .so is missing or older than any source in native/."""
+    if not os.path.exists(so_path):
+        return True
+    so_mtime = os.path.getmtime(so_path)
+    for name in os.listdir(_NATIVE_DIR):
+        if name.endswith((".cpp", ".h", ".cc")) or name == "Makefile":
+            if os.path.getmtime(os.path.join(_NATIVE_DIR, name)) > so_mtime:
+                return True
+    return False
 
 
 def get_lib():
@@ -44,7 +56,7 @@ def get_lib():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
+        if _stale(_LIB_PATH):
             _build()
         try:
             lib = ctypes.CDLL(_LIB_PATH)
@@ -146,24 +158,29 @@ def get_meta_lib():
     with _lock:
         if _meta_lib is not None:
             return _meta_lib
-        if not os.path.exists(_META_LIB_PATH):
+        if _stale(_META_LIB_PATH):
             _build()
         try:
             lib = ctypes.CDLL(_META_LIB_PATH)
         except OSError as e:
             raise NativeUnavailable(str(e)) from e
-        lib.sm_counts.restype = None
-        lib.sm_counts.argtypes = [
-            _I64P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_int32, _I64P, _I64P, ctypes.c_int32,
-        ]
-        lib.sm_fill.restype = None
-        lib.sm_fill.argtypes = [
-            _I64P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            _I32P, _F32P, _I32P, _I32P, _I32P, _F32P,
-            _I32P, _I32P, _I32P, _I32P, _I32P, ctypes.c_int32,
-        ]
+        try:
+            lib.sm_counts.restype = None
+            lib.sm_counts.argtypes = [
+                _I64P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_int32, _I64P, _I64P, ctypes.c_int32,
+            ]
+            lib.sm_fill.restype = None
+            lib.sm_fill.argtypes = [
+                _I64P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                _I32P, _F32P, _I32P, _I32P, _I32P, _F32P,
+                _I32P, _I32P, _I32P, _I32P, _I32P, ctypes.c_int32,
+            ]
+        except AttributeError as e:
+            # A stale/foreign .so without the expected symbols must degrade to
+            # the numpy fallback, not crash the fit (advisor r4).
+            raise NativeUnavailable(f"libstepmeta missing symbols: {e}") from e
         _meta_lib = lib
         return _meta_lib
 

@@ -186,8 +186,11 @@ def pallas_rows_gather_dual(
 
     ids may contain duplicates (reads race benignly).  K % chunk == 0.
     ``n_real`` ([1] int32): ids[n_real:] are padding — their output rows
-    are skipped (zeros in the reference/interpreter paths, uninitialized
-    under Mosaic; callers must not consume them).
+    are skipped (NaN-poisoned in the reference path, undefined under the
+    pallas interpreter, uninitialized under Mosaic; callers must not
+    consume them).  The reference path poisons rather than zeroing so a
+    CPU test that accidentally consumes pad slots fails loudly instead of
+    passing on zeros and reading garbage on TPU (advisor r4).
     INTERPRET MODES follow ops/pallas_scatter.py: ``True`` = fast pure-JAX
     reference (jnp.take along axis 1), ``"pallas"`` = genuine pallas
     interpreter, ``False`` = Mosaic.
@@ -205,7 +208,8 @@ def pallas_rows_gather_dual(
         if n_real is None:
             return got
         valid = (jnp.arange(K) < bounds[1])[None, :, None]
-        return jnp.where(valid, got, 0)
+        poison = jnp.nan if jnp.issubdtype(got.dtype, jnp.inexact) else jnp.iinfo(got.dtype).min
+        return jnp.where(valid, got, poison)
     assert K % chunk == 0, (K, chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -258,7 +258,8 @@ def test_pallas_rows_gather_hbm_reference_matches_interpreter():
 
 def test_pallas_rows_gather_dual_n_real_matches_interpreter():
     """pallas_rows_gather_dual with n_real: real slots fetch [2, 1, W]
-    strided pairs, tail pads are skipped (zeros in reference/interpreter);
+    strided pairs, tail pads are skipped (NaN-poisoned in the reference so
+    accidental pad consumption fails loudly on CPU — advisor r4);
     the slot-space update's phase-1 gather (round 4)."""
     from mmlrec_tpu.ops.pallas_gather import pallas_rows_gather_dual
 
@@ -271,13 +272,13 @@ def test_pallas_rows_gather_dual_n_real_matches_interpreter():
                                   interpret=True)
     got = pallas_rows_gather_dual(stacked, ids, n_real=n_real, chunk=4,
                                   interpret="pallas")
-    # pad rows are undefined (NaN sentinel in the interpreter, zeros in
-    # the reference, uninitialized under Mosaic) — pin the REAL slots
+    # pad rows are undefined (NaN poison in the reference, undefined in
+    # the interpreter, uninitialized under Mosaic) — pin the REAL slots
     np.testing.assert_array_equal(np.asarray(got)[:, :11],
                                   np.asarray(ref)[:, :11])
     want = np.array(jnp.take(stacked, ids, axis=1))
-    want[:, 11:] = 0.0
-    np.testing.assert_array_equal(np.asarray(ref), want)
+    np.testing.assert_array_equal(np.asarray(ref)[:, :11], want[:, :11])
+    assert np.isnan(np.asarray(ref)[:, 11:]).all()
 
     # n_real=None keeps the original full-fetch contract
     full = pallas_rows_gather_dual(stacked, ids, chunk=4, interpret="pallas")
