@@ -148,6 +148,53 @@ def init_sparse_adam(table: jnp.ndarray, dtype=None, packed: bool = False):
     )
 
 
+def split_stacked_planes(fat: jnp.ndarray, n_shards: int = 1):
+    """Folded [2Vp, W] table+moment container -> (table [Vp, W], monu
+    [Vp, W]) planes.
+
+    ``n_shards == 1`` (single chip) is the plane-major layout: table rows
+    in [0, Vp), the monu container in [Vp, 2Vp).  ``n_shards > 1`` is the
+    SHARD-MAJOR mesh layout (round 5): global rows [d*2r, (d+1)*2r) with
+    r = Vp/n_shards hold [table_d; monu_d], so a contiguous
+    P('model', None) row sharding gives every shard its own local stacked
+    container (both planes of each owned physical row co-resident —
+    required for the zero-collective dual-DMA update,
+    parallel/shard_embedding.py).  Single-chip is the n_shards=1 special
+    case of the same map."""
+    Vp = fat.shape[0] // 2
+    if n_shards == 1:
+        return fat[:Vp], fat[Vp:]
+    r = Vp // n_shards
+    v = fat.reshape(n_shards, 2, r, fat.shape[1])
+    return (
+        v[:, 0].reshape(Vp, fat.shape[1]),
+        v[:, 1].reshape(Vp, fat.shape[1]),
+    )
+
+
+def fold_stacked_planes(table: jnp.ndarray, monu: jnp.ndarray,
+                        n_shards: int = 1) -> jnp.ndarray:
+    """Inverse of split_stacked_planes: (table, monu) -> [2Vp, W] fat
+    container in the plane-major (n_shards=1) or shard-major layout."""
+    if n_shards == 1:
+        return jnp.concatenate([table, monu])
+    Vp, W = table.shape
+    r = Vp // n_shards
+    return jnp.stack(
+        [table.reshape(n_shards, r, W), monu.reshape(n_shards, r, W)],
+        axis=1,
+    ).reshape(2 * Vp, W)
+
+
+def stacked_table_rows(phys: jnp.ndarray, Vp: int, n_shards: int = 1):
+    """Map physical table row ids to their global row in the folded
+    container: identity at n_shards=1; (p//r)*2r + p%r shard-major."""
+    if n_shards == 1:
+        return phys
+    r = Vp // n_shards
+    return (phys // r) * (2 * r) + (phys % r)
+
+
 def to_split_state(st):
     """Canonical (mu, nu) layout for checkpoints: the packed bf16-pair
     layout is a PLATFORM-dependent runtime choice (auto table_update picks

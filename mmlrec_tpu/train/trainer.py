@@ -35,6 +35,7 @@ import optax
 
 from ..config import ExperimentConfig
 from ..models.base import RecModel
+from . import staging
 from .cka import cka_domain_loss
 from .losses import l2_regularization, multitask_loss
 from .metrics import get_metric_fns, regime_eval
@@ -1025,64 +1026,29 @@ class Trainer:
     #   the batch order per epoch — near-identical training dynamics on
     #   i.i.d. tabular data at ~5x the full-shuffle step rate.
 
-    def _stage_dataset(self, ids, dense, y, dmask):
-        parts = [ids.astype(np.float32), dense, y]
-        if dmask is not None:
-            parts.append(dmask)
-        combined = np.concatenate(parts, axis=1).astype(np.float32)
-        self._stage_dims = (
-            ids.shape[1],
-            dense.shape[1],
-            y.shape[1],
-            dmask.shape[1] if dmask is not None else 0,
-        )
-        if self.mesh is not None:
-            # mesh fast path: the dataset lives SHARDED over the 'data' axis
-            # (each device holds N/n_data rows); batches are fetched with
-            # parallel/mesh.py::distributed_take.  Pad rows to divide evenly
-            # (pad rows are never indexed — every idx < n).
-            from jax.sharding import NamedSharding, PartitionSpec as P
+    # staging / metadata machinery lives in train/staging.py (VERDICT r4
+    # #7); these thin delegates keep the established private surface for
+    # benchmarks, tests, and multi_seed/sweep.
 
-            n_data = self.mesh.shape["data"]
-            pad = (-len(combined)) % n_data
-            if pad:
-                combined = np.concatenate(
-                    [combined, np.zeros((pad, combined.shape[1]), np.float32)]
-                )
-            return jax.device_put(
-                combined, NamedSharding(self.mesh, P("data", None))
-            )
-        return jnp.asarray(combined)
+    def _stage_dataset(self, ids, dense, y, dmask):
+        from . import staging
+
+        return staging.stage_dataset(self, ids, dense, y, dmask)
 
     def _to_mesh(self, a, spec=None):
-        """Place a host array on the mesh (replicated by default); plain
-        upload when no mesh."""
-        if a is None:
-            return None
-        if self.mesh is None:
-            return jnp.asarray(a)
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from . import staging
 
-        return jax.device_put(
-            np.asarray(a), NamedSharding(self.mesh, spec if spec is not None else P())
-        )
+        return staging.to_mesh(self, a, spec)
 
     def _fetch_staged_rows(self, staged, idx):
-        """Batch fetch from the staged dataset: plain take single-device;
-        explicit distributed gather (reduce-scatter routed) under a mesh."""
-        if self.mesh is not None:
-            from ..parallel.mesh import distributed_take
+        from . import staging
 
-            return distributed_take(staged, idx, self.mesh)
-        return jnp.take(staged, idx, axis=0)
+        return staging.fetch_staged_rows(self, staged, idx)
 
     def _split_staged(self, rows, weight):
-        S, Dd, T, Dm = self._stage_dims
-        ids = rows[:, :S].astype(jnp.int32)
-        dense = rows[:, S : S + Dd]
-        y = rows[:, S + Dd : S + Dd + T]
-        dmask = rows[:, S + Dd + T :] if Dm else None
-        return (ids, dense, y, dmask, weight)
+        from . import staging
+
+        return staging.split_staged(self, rows, weight)
 
     # The hot loop must pass ZERO host-side values: a python scalar argument
     # to a jitted call costs ~9 ms through this environment's TPU tunnel
@@ -1091,144 +1057,29 @@ class Trainer:
     # shuffled indices/weights are transferred once per epoch.
 
     def _resolve_table_update(self, batch_size: int) -> None:
-        """Enforce the unique-metadata headroom constraint at fit time.
+        from . import staging
 
-        batch_step_metadata needs n_phys_rows > Kp (the padded per-batch id
-        count) to find distinct untouched pad rows.  Kp depends on the fit
-        batch size, so the constructor cannot check it: auto-resolved
-        pallas/unique quietly falls back to scatter here; an EXPLICIT mode
-        raises with guidance instead of crashing inside the first batch.
-        """
-        if self.table_update == "scatter":
-            return
-        K = batch_size * len(self.layout.sparse_slots)
-        Kp = -(-K // 256) * 256
-        if self._emb_phys_rows > Kp:
-            return
-        mc = self.cfg.model_config
-        stacked = getattr(self, "table_container", "split") == "stacked"
-        if (
-            stacked
-            and mc.extra.get("_table_container_auto")
-            and getattr(self, "_table_update_auto", False)
-            and self.variables is None
-            and getattr(self, "_train_state", None) is None
-        ):
-            # the config-time auto opt-in (resolve_table_container) assumed
-            # the config's train_batch_size; this fit's batch breaks the
-            # unique-metadata headroom.  No variables exist yet, so undo the
-            # opt-in — the model reads table_container at init — and fall
-            # through to the scatter demotion below.
-            import warnings
-
-            warnings.warn(
-                f"table_container='stacked' was auto-engaged at the config "
-                f"batch size but fit(batch_size={batch_size}) breaks the "
-                f"unique-metadata headroom (physical rows "
-                f"{self._emb_phys_rows} <= Kp={Kp}); demoting to the split "
-                "layout and the scatter update"
-            )
-            mc.extra["table_container"] = "split"
-            mc.extra.pop("_table_container_auto", None)
-            self.table_container = "split"
-            self.pair_gather = "split"
-            self.dedup_route = "scatter"
-        elif not getattr(self, "_table_update_auto", False) or stacked:
-            # an initialized stacked container cannot demote to scatter
-            # (the moments live inside the param), so it raises even under
-            # auto; explicit table_update modes always raise
-            raise ValueError(
-                f"table_update={self.table_update!r}"
-                + (" with table_container='stacked'" if stacked else "")
-                + f" needs the physical table ({self._emb_phys_rows} rows) "
-                f"to exceed the padded per-batch id count Kp={Kp}; use a "
-                "larger vocabulary, a smaller batch, or "
-                "table_update='scatter'"
-            )
-        self.table_update = "scatter"
-        self._packed_moments = False
-        self._step_fns.clear()
-        prev = getattr(self, "_train_state", None)
-        if prev and "table_opt" in prev:
-            from .sparse_embedding import (
-                SparseAdamPackedState,
-                SparseAdamState,
-                unpack_monu,
-            )
-
-            if isinstance(prev["table_opt"], SparseAdamPackedState):
-                mu, nu = unpack_monu(prev["table_opt"].monu)
-                prev["table_opt"] = SparseAdamState(
-                    mu=mu, nu=nu, count=prev["table_opt"].count
-                )
+        staging.resolve_table_update(self, batch_size)
 
     def _emb_phys_rows_static(self) -> int:
-        """Physical row count of the fused table (mirrors
-        FusedEmbedding.setup), independent of table_update mode."""
-        total = int(
-            sum(s.feature.vocabulary_size for s in self.layout.sparse_slots)
-        )
-        rows = -(-max(total, 1) // 128) * 128
-        P = getattr(self, "_emb_pack_factor", 1)
-        if P > 1:
-            rows = -(-rows // (P * 128)) * (P * 128)
-        return rows // P
+        from . import staging
+
+        return staging.emb_phys_rows_static(self)
 
     def _resolve_update_space(self, flat: np.ndarray) -> None:
-        """Resolve update_space='auto' from the FIRST metadata batch's
-        physical-row duplication (sticky for the trainer's lifetime so
-        the jitted step program never flips mid-fit).  Crossover from the
-        same-window 40M A/B: slot wins from ~25% duplication up
-        (docs/perf_notes.md round 4)."""
-        if self.update_space != "auto":
-            return
-        if (
-            self.table_container != "stacked"
-            or getattr(self, "dedup_route", "scatter") != "gather"
-        ):
-            self.update_space = "position"
-            return
-        P = self._emb_pack_factor
-        K = flat.shape[1]
-        dup = 1.0 - len(np.unique(flat[0] // P if P > 1 else flat[0])) / K
-        self.update_space = "slot" if dup >= 0.25 else "position"
+        from . import staging
+
+        staging.resolve_update_space(self, flat)
 
     def _step_metadata(self, flat: np.ndarray) -> tuple:
-        """Per-batch host metadata stacks for flat [steps, K] logical ids:
-        (inv, rep) under the default scatter update, plus
-        (pids, pinv, nuniq) under unique/pallas — all from one sort
-        (train/sparse_embedding.py batch_step_metadata)."""
-        from .sparse_embedding import batch_step_metadata
+        from . import staging
 
-        self._resolve_update_space(flat)
-        if self.table_update == "scatter":
-            return batch_step_metadata(flat)
-        want_route = getattr(self, "dedup_route", "scatter") == "gather"
-        meta = batch_step_metadata(
-            flat, self._emb_pack_factor, self._emb_phys_rows,
-            want_route=want_route,
-            # monotone residual-capacity floor: keep the resid shapes (and
-            # therefore the jitted step program) stable across epochs and
-            # streaming batches — see batch_step_metadata's R_cap comment
-            r_cap_min=getattr(self, "_route_r_cap", 0),
-        )
-        if want_route:
-            # one shared floor for both residual widths (resid + gdup)
-            self._route_r_cap = max(
-                getattr(self, "_route_r_cap", 0), meta[7].shape[1],
-                meta[9].shape[1],
-            )
-        return meta
+        return staging.step_metadata(self, flat)
 
     def _slice_dedup(self, dedup2d, s):
-        """Row s of the per-epoch (inv, rep[, pids, pinv]) stacks
-        (two-phase mode; the last two only under unique/pallas updates)."""
-        if dedup2d is None:
-            return ()
-        return tuple(
-            jax.lax.dynamic_slice(a, (s, 0), (1, a.shape[1]))[0]
-            for a in dedup2d
-        )
+        from . import staging
+
+        return staging.slice_dedup(self, dedup2d, s)
 
     def _gather_step_body(self, state, staged, idx2d, w2d, dedup2d=None):
         steps, bs = idx2d.shape
@@ -1402,6 +1253,9 @@ class Trainer:
     ) -> "Trainer":
         mc, oc, tc = self.cfg.model_config, self.cfg.optim_config, self.cfg.training_config
         batch_size = batch_size or 256
+        # metadata-compaction codec is per-fit (its widths specialize on
+        # this fit's K/Kp and route layout) — train/staging.py
+        self._meta_codec = "unset"
         if self.two_phase_embedding:
             self._resolve_table_update(batch_size)
         ids, dense = self.pack_inputs(x)
@@ -1524,117 +1378,21 @@ class Trainer:
         val_dev = None
         val_metric_dev = None
 
-        # Fast path: device-resident dataset + chained per-step dispatches
-        # (see the comment above _stage_dataset for the measurements that
-        # drive this design).  Under a mesh the dataset is STAGED SHARDED
-        # over the 'data' axis and batches are fetched with an explicit
-        # reduce-scatter-routed distributed gather (parallel/mesh.py::
-        # distributed_take), so mesh fits get the same scan_steps dispatch
-        # amortization as single-chip ones instead of per-batch relay
-        # uploads; requires batch_size divisible by the data axis (else the
-        # streaming path's per-batch shard_batch semantics apply).
-        dataset_bytes = ids.nbytes + dense.nbytes + y.nbytes
-        if self.mesh is None:
-            use_device_data = dataset_bytes * 2 < self._device_data_bytes_cap
-        else:
-            n_data_axis = self.mesh.shape.get("data", 1)
-            use_device_data = (
-                batch_size % n_data_axis == 0
-                # per-DEVICE staging bytes: rows are sharded n_data ways
-                and dataset_bytes * 2
-                < self._device_data_bytes_cap * n_data_axis
-            )
-        block_mode = shuffle == "block"
-        if use_device_data:
-            state["epoch_step"] = jnp.zeros((), jnp.int32)
-            if block_mode:
-                # pre-shuffle rows once so fixed batch composition is random
-                pre = rng_np.permutation(n)
-                ids, dense, y = ids[pre], dense[pre], y[pre]
-                dmask = dmask[pre] if dmask is not None else None
-                pad_tail = (steps_per_epoch * batch_size) - n
-                if pad_tail:
-                    rep = lambda a: np.concatenate([a, np.repeat(a[:1], pad_tail, 0)])
-                    staged = self._stage_dataset(
-                        rep(ids), rep(dense), rep(y),
-                        rep(dmask) if dmask is not None else None,
-                    )
-                else:
-                    staged = self._stage_dataset(ids, dense, y, dmask)
-                step_dev = self._make_slice_step(batch_size)
-                block_w = np.ones((steps_per_epoch, batch_size), np.float32)
-                if pad_tail:
-                    block_w[-1, batch_size - pad_tail :] = 0.0
-                block_dedup = None
-                if self.two_phase_embedding:
-                    # batch composition is FIXED in block mode, so per-batch
-                    # duplicate metadata is computed once per fit
-                    ids_p = rep(ids) if pad_tail else ids
-                    offs = np.asarray(self._fused_offsets)[None, :]
-                    flat = (ids_p.astype(np.int64) + offs).reshape(
-                        steps_per_epoch, batch_size * ids.shape[1]
-                    )
-                    block_dedup = self._step_metadata(flat)
-                    # stage the per-batch metadata stacks ONCE: re-uploading
-                    # them each epoch (~1.5 MB/batch over the relay) was the
-                    # dominant e2e fit cost at production vocab — 15 s/epoch
-                    # against a 0.6 s device epoch (bench_40m_fit_e2e.py,
-                    # docs/perf_notes.md round 4b).  Per-epoch reordering
-                    # happens ON DEVICE with one [steps] index take.
-                    block_dedup = tuple(
-                        self._to_mesh(a) for a in block_dedup)
-            else:
-                staged = self._stage_dataset(ids, dense, y, dmask)
-                step_dev = self._make_gather_step()
+        # fit-path decision + dataset/metadata staging + the full-shuffle
+        # thread-ahead pool: train/staging.py::make_device_plan (block mode
+        # returns pre-shuffled data arrays)
+        (use_device_data, block_mode, staged, step_dev, block_w, block_dedup,
+         fs_pool, ids, dense, y, dmask) = staging.make_device_plan(
+            self, ids, dense, y, dmask, batch_size, shuffle, steps_per_epoch,
+            n, rng_np, state, epochs, initial_epoch, max_steps,
+        )
+        fs_future = None
 
-        # Full-shuffle two-phase epochs recompute the duplicate metadata for
-        # the WHOLE epoch's batches at epoch start (~4 ms/batch host time,
-        # train/sparse_embedding.py batch_step_metadata) while the device
-        # sits idle.  Thread it one epoch AHEAD: epoch e+1's permutation is
-        # drawn on the main thread (keeping the rng_np draw sequence
-        # identical to the synchronous loop) and its numpy prep runs in a
-        # single worker while epoch e's dispatches execute on device.
-        fs_pool = fs_future = None
-        # A fit() aborted mid-epoch (e.g. the relay dying) exits through the
-        # exception before the post-loop shutdown; clean up that previous
-        # pool here so retry loops don't accumulate worker threads.
-        if getattr(self, "_fs_pool", None) is not None:
-            self._fs_pool.shutdown(wait=False, cancel_futures=True)
-            self._fs_pool = None
-        if (
-            use_device_data
-            and not block_mode
-            and shuffle is True
-            and self.two_phase_embedding
-            and not max_steps
-            and self._prefetch_batches > 0
-            and (epochs - initial_epoch) > 1
-        ):
-            from concurrent.futures import ThreadPoolExecutor
-
-            fs_pool = ThreadPoolExecutor(max_workers=1)
-            self._fs_pool = fs_pool
-
-        def _fs_host_prep(order_e, steps_e):
-            padded_e = steps_e * batch_size
-            idx_e = np.zeros(padded_e, np.int64)
-            take_e = min(n, padded_e)
-            idx_e[:take_e] = order_e[:take_e]
-            w_e = np.zeros(padded_e, np.float32)
-            w_e[:take_e] = 1.0
-            meta_e = None
-            if self.two_phase_embedding:
-                offs = np.asarray(self._fused_offsets)[None, None, :]
-                ids_e = ids[idx_e.reshape(steps_e, batch_size)]
-                flat = (ids_e.astype(np.int64) + offs).reshape(steps_e, -1)
-                meta_e = self._step_metadata(flat)
-                # stage from the worker: the epoch metadata stack is
-                # ~1.5 MB/batch — uploading it at epoch START serialized a
-                # multi-second relay transfer against an idle device
-                # (bench_40m_fit_e2e.py round 4b); device_put here lets the
-                # transfer ride during the PREVIOUS epoch's dispatches
-                meta_e = tuple(self._to_mesh(a) for a in meta_e)
-            return idx_e, w_e, take_e, meta_e
+        # full-shuffle epoch host prep + worker-thread staging: see
+        # train/staging.py::fs_host_prep (round-5 compaction included)
+        _fs_host_prep = functools.partial(
+            staging.fs_host_prep, self, ids, n, batch_size
+        )
 
         for epoch in range(initial_epoch, epochs):
             t0 = time.time()
@@ -1656,8 +1414,6 @@ class Trainer:
                     break
 
             if use_device_data:
-                loss_refs = []
-                prob_refs = []
                 # fresh device zero each epoch (the previous one was donated)
                 state["epoch_step"] = jnp.zeros((), jnp.int32)
                 if block_mode:
@@ -1666,58 +1422,15 @@ class Trainer:
                         if shuffle
                         else np.arange(steps_this_epoch)
                     )
-                    starts_dev = self._to_mesh(
-                        (batch_order * batch_size).astype(np.int32)
+                    (state, loss_refs, prob_refs, valid, host_rows, take,
+                     spans) = staging.run_block_epoch(
+                        self, state, staged, step_dev, block_w, block_dedup,
+                        batch_size, steps_per_epoch, steps_this_epoch,
+                        batch_order,
                     )
-                    w2d_dev = self._to_mesh(block_w[batch_order])
-                    dedup_dev = None
-                    if block_dedup is not None:
-                        # per-epoch batch reorder ON DEVICE (the stacks were
-                        # staged once above); one [steps]-index take per array
-                        order_dev = self._to_mesh(
-                            batch_order.astype(np.int32))
-                        dedup_dev = tuple(
-                            jnp.take(a, order_dev, axis=0)
-                            for a in block_dedup
-                        )
-                    if self._scan_steps:
-                        pos = 0
-                        while pos < steps_this_epoch:
-                            L = (
-                                steps_this_epoch - pos
-                                if self._scan_steps < 0
-                                else min(self._scan_steps,
-                                         steps_this_epoch - pos)
-                            )
-                            runner = self._make_scan_runner(
-                                "slice", batch_size, L)
-                            state, tls, probs = runner(
-                                state, staged, starts_dev, w2d_dev, dedup_dev)
-                            loss_refs.append(tls)
-                            if self.metric_fns:
-                                prob_refs.append(
-                                    probs.reshape(-1, probs.shape[-1]))
-                            pos += L
-                    else:
-                        for s in range(steps_this_epoch):
-                            state, total_loss, data_loss, probs = step_dev(
-                                state, staged, starts_dev, w2d_dev, dedup_dev
-                            )
-                            loss_refs.append(total_loss)
-                            if self.metric_fns:
-                                prob_refs.append(probs)
-                    valid = block_w[batch_order].reshape(-1) > 0
-                    host_rows = (
-                        np.arange(steps_per_epoch * batch_size)
-                        .reshape(steps_per_epoch, batch_size)[batch_order]
-                        .reshape(-1)[valid]
-                    )
-                    take = int(valid.sum())
-                    epoch_spans += [
-                        (int(c), int(c))
-                        for c in block_w[batch_order].sum(axis=1)
-                    ]
                 else:
+                    # thread-ahead resolution stays here: the rng_np
+                    # permutation draw ORDER must match the synchronous loop
                     if fs_pool is not None:
                         if fs_future is None:
                             prep = _fs_host_prep(order, steps_this_epoch)
@@ -1737,51 +1450,14 @@ class Trainer:
                             fs_future = fs_pool.submit(
                                 _fs_host_prep, order_next, steps_per_epoch
                             )
-                        idx_full, w_full, take, meta_np = prep
                     else:
-                        idx_full, w_full, take, meta_np = _fs_host_prep(
-                            order, steps_this_epoch
-                        )
-                    idx2d_dev = self._to_mesh(
-                        idx_full.reshape(steps_this_epoch, batch_size).astype(np.int32)
+                        prep = _fs_host_prep(order, steps_this_epoch)
+                    (state, loss_refs, prob_refs, valid, host_rows, take,
+                     spans) = staging.run_gather_epoch(
+                        self, state, staged, step_dev, prep, batch_size,
+                        steps_this_epoch,
                     )
-                    w2d_dev = self._to_mesh(
-                        w_full.reshape(steps_this_epoch, batch_size)
-                    )
-                    dedup_dev = meta_np  # staged by _fs_host_prep already
-                    if self._scan_steps:
-                        pos = 0
-                        while pos < steps_this_epoch:
-                            L = (
-                                steps_this_epoch - pos
-                                if self._scan_steps < 0
-                                else min(self._scan_steps,
-                                         steps_this_epoch - pos)
-                            )
-                            runner = self._make_scan_runner(
-                                "gather", batch_size, L)
-                            state, tls, probs = runner(
-                                state, staged, idx2d_dev, w2d_dev, dedup_dev)
-                            loss_refs.append(tls)
-                            if self.metric_fns:
-                                prob_refs.append(
-                                    probs.reshape(-1, probs.shape[-1]))
-                            pos += L
-                    else:
-                        for s in range(steps_this_epoch):
-                            state, total_loss, data_loss, probs = step_dev(
-                                state, staged, idx2d_dev, w2d_dev, dedup_dev
-                            )
-                            loss_refs.append(total_loss)
-                            if self.metric_fns:
-                                prob_refs.append(probs)
-                    valid = None
-                    host_rows = idx_full[:take]
-                    epoch_spans += [
-                        (min(batch_size, take - s * batch_size),) * 2
-                        for s in range(steps_this_epoch)
-                    ]
-
+                epoch_spans += spans
                 total_steps += steps_this_epoch
                 examples_seen += take
                 total_loss_epoch = float(np.sum(np.asarray(
@@ -1796,63 +1472,13 @@ class Trainer:
                     epoch_probs.append(probs_flat)
                     epoch_y.append(y[host_rows])
             else:
-                # Streaming path (dataset too large to stage on device, or
-                # mesh-sharded batches).  Batch construction — host slicing,
-                # device uploads through the relay, and the two-phase
-                # duplicate metadata (~4 ms at K=65k) — runs in a single
-                # PREFETCH worker thread, overlapping the main thread's
-                # per-step dispatch + loss readback.  One worker preserves
-                # batch order, so numerics are identical to the
-                # synchronous loop.
-                def make_batch(s):
-                    idx = order[s * batch_size : (s + 1) * batch_size]
-                    pad = batch_size - len(idx)
-                    weight = np.ones(batch_size, np.float32)
-                    if pad:
-                        weight[len(idx) :] = 0.0
-                        idx = np.concatenate([idx, np.zeros(pad, np.int64)])
-                    batch = (
-                        jnp.asarray(ids[idx]),
-                        jnp.asarray(dense[idx]),
-                        jnp.asarray(y[idx]),
-                        jnp.asarray(dmask[idx]) if dmask is not None else None,
-                        jnp.asarray(weight),
-                    )
-                    if self.mesh is not None:
-                        from ..parallel.mesh import shard_batch
-
-                        batch = shard_batch(batch, self.mesh)
-                    if self.two_phase_embedding:
-                        offs = np.asarray(self._fused_offsets)[None, :]
-                        flat = (ids[idx].astype(np.int64) + offs).reshape(1, -1)
-                        meta = self._step_metadata(flat)
-                        batch = batch + tuple(jnp.asarray(a[0]) for a in meta)
-                    return idx, weight, batch
-
-                from collections import deque
-                from concurrent.futures import ThreadPoolExecutor
-
-                depth = max(int(self._prefetch_batches), 1)
-                with ThreadPoolExecutor(max_workers=1) as pool:
-                    pending = deque(
-                        pool.submit(make_batch, s)
-                        for s in range(min(depth, steps_this_epoch))
-                    )
-                    for s in range(steps_this_epoch):
-                        idx, weight, batch = pending.popleft().result()
-                        if s + depth < steps_this_epoch:
-                            pending.append(pool.submit(make_batch, s + depth))
-                        state, total_loss, data_loss, probs = train_step(
-                            state, batch)
-                        total_steps += 1
-                        examples_seen += int(np.sum(weight))
-                        if self.metric_fns:
-                            epoch_probs.append(np.asarray(probs))
-                            epoch_y.append(y[idx])
-                            # pads sit at the batch tail (weight zeroed)
-                            epoch_spans.append(
-                                (len(weight), int(weight.sum())))
-                        total_loss_epoch += float(total_loss)
+                (state, total_loss_epoch, stream_ex, epoch_probs, epoch_y,
+                 epoch_spans) = staging.run_streaming_epoch(
+                    self, state, train_step, order, ids, dense, y, dmask,
+                    batch_size, steps_this_epoch,
+                )
+                total_steps += steps_this_epoch
+                examples_seen += stream_ex
 
             jax.block_until_ready(state["params"])
             epoch_time = time.time() - t0
@@ -2048,39 +1674,10 @@ class Trainer:
         return out
 
     def _eval_batch_spec(self, batch_size: int):
-        """PartitionSpec for a [steps, bs, ...] eval tensor under a mesh:
-        per-batch rows sharded over 'data' (replicated if indivisible)."""
-        from jax.sharding import PartitionSpec as P
-
-        if (
-            self.mesh is not None
-            and batch_size % self.mesh.shape.get("data", 1) == 0
-        ):
-            return P(None, "data")
-        return P()
+        return staging.eval_batch_spec(self, batch_size)
 
     def _prepare_eval_tensors(self, ids, dense, dmask, batch_size: int):
-        """Pad + reshape fixed eval arrays to [steps, bs, ...] device
-        tensors once (repeated per-epoch uploads are wasted transfers).
-        Under a mesh each batch's rows are sharded over 'data', so the
-        scanned inference runs data-parallel and (with device_eval) only
-        metric scalars ever cross the relay."""
-        n = len(ids)
-        steps = (n - 1) // batch_size + 1
-        pad = steps * batch_size - n
-        spec = self._eval_batch_spec(batch_size)
-
-        def prep(a):
-            if a is None:
-                return None
-            if pad:
-                a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
-            a = a.reshape(steps, batch_size, *a.shape[1:])
-            if self.mesh is not None:
-                return self._to_mesh(a, spec)
-            return jnp.asarray(a)
-
-        return (prep(ids), prep(dense), prep(dmask), n)
+        return staging.prepare_eval_tensors(self, ids, dense, dmask, batch_size)
 
     def _use_device_eval(self) -> bool:
         """device_eval is honored only when every requested metric has a
@@ -2091,16 +1688,7 @@ class Trainer:
         return self.device_eval and device_metrics.supports(self.metric_fns.keys())
 
     def _prepare_metric_tensors(self, y, val_dev):
-        """Stage padded labels + validity weights on device once for the
-        fused predict+metrics program."""
-        ids3, _, _, n = val_dev
-        total = ids3.shape[0] * ids3.shape[1]
-        y2 = np.asarray(y, np.float32)
-        pad = total - len(y2)
-        if pad:
-            y2 = np.concatenate([y2, np.repeat(y2[-1:], pad, axis=0)])
-        w = (np.arange(total) < n).astype(np.float32)
-        return self._to_mesh(y2), self._to_mesh(w)
+        return staging.prepare_metric_tensors(self, y, val_dev)
 
     def _make_eval_program(self):
         return self._cached("eval_program", self._build_eval_program)
@@ -2147,7 +1735,7 @@ class Trainer:
         self.history = []
         self.batch_history = []
         self.throughput_examples_per_s = None
-        for attr in ("_train_state", "_staged_eval_cache"):
+        for attr in ("_train_state", "_staged_eval_cache", "_meta_codec"):
             if hasattr(self, attr):
                 delattr(self, attr)
         return self
@@ -2212,15 +1800,7 @@ class Trainer:
         )
 
     def _prepare_mask_tensor(self, test_mask, total: int):
-        """Pad the [N, D] domain test mask to the staged length (pad rows
-        get all-zero masks, excluding them from every head)."""
-        if test_mask is None:
-            return None
-        tm = np.asarray(test_mask, np.float32)
-        pad = total - len(tm)
-        if pad:
-            tm = np.concatenate([tm, np.zeros((pad,) + tm.shape[1:], np.float32)])
-        return self._to_mesh(tm)
+        return staging.prepare_mask_tensor(self, test_mask, total)
 
     @staticmethod
     def _order_masked_row(vals: Dict[str, float]) -> Dict[str, float]:
@@ -2310,153 +1890,39 @@ class Trainer:
     # -- full training-state checkpointing (params + optimizer state +
     #    epoch) for mid-run resume; the reference has no on-disk
     #    checkpointing at all (SURVEY §5) --
+    # bodies in train/checkpointing.py (VERDICT r4 #7 split)
+
     def _state_ckpt_dir(self, path: str) -> str:
-        return os.path.abspath(
-            os.path.join(
-                path, f"{self.model_name}_{self.task_name}_seed{self.seed}_state"
-            )
-        )
+        from . import checkpointing
+
+        return checkpointing.state_ckpt_dir(self, path)
 
     def _state_to_split_layout(self, state):
-        """Training state in the platform-independent SPLIT layout: a
-        stacked-container state (fat [2Vp, W] table param + FoldedState)
-        is converted to (table top half, unpacked split mu/nu) so a
-        checkpoint written by a stacked TPU run restores into any
-        table_container / table_update configuration (ADVICE r3).  All
-        conversions are slices/bitcasts — bit-exact round trip."""
-        from .sparse_embedding import (
-            SparseAdamFoldedState,
-            SparseAdamState,
-            to_split_state,
-            unpack_monu,
-        )
+        from . import checkpointing
 
-        out = dict(state)
-        topt = state.get("table_opt")
-        if isinstance(topt, SparseAdamFoldedState):
-            rest, fat = self._without_table(state["params"])
-            Vp = fat.shape[0] // 2
-            mu, nu = unpack_monu(fat[Vp:])
-            out["params"] = self._with_table(rest, fat[:Vp])
-            out["table_opt"] = SparseAdamState(mu=mu, nu=nu, count=topt.count)
-        elif topt is not None:
-            out["table_opt"] = to_split_state(topt)
-        return out
+        return checkpointing.state_to_split_layout(self, state)
 
     def _state_to_runtime_layout(self, state):
-        """Inverse of _state_to_split_layout for THIS trainer's runtime
-        (refold the fat param under a stacked container, re-pack bf16
-        moments under packed split)."""
-        from .sparse_embedding import (
-            SparseAdamFoldedState,
-            SparseAdamState,
-            pack_monu,
-            to_runtime_state,
-        )
+        from . import checkpointing
 
-        out = dict(state)
-        topt = state.get("table_opt")
-        if (
-            getattr(self, "table_container", "split") == "stacked"
-            and isinstance(topt, SparseAdamState)
-        ):
-            rest, table = self._without_table(state["params"])
-            fat = jnp.concatenate(
-                [
-                    table,
-                    pack_monu(
-                        topt.mu.astype(jnp.bfloat16),
-                        topt.nu.astype(jnp.bfloat16),
-                    ),
-                ]
-            )
-            out["params"] = self._with_table(rest, fat)
-            out["table_opt"] = SparseAdamFoldedState(count=topt.count)
-        elif topt is not None:
-            out["table_opt"] = to_runtime_state(
-                topt, getattr(self, "_packed_moments", False)
-            )
-        return out
+        return checkpointing.state_to_runtime_layout(self, state)
 
     def save_training_state(self, path: str, epoch: Optional[int] = None) -> str:
-        import orbax.checkpoint as ocp
+        from . import checkpointing
 
-        if getattr(self, "_train_state", None) is None:
-            raise ValueError("no training state; call fit() first")
-        epoch = epoch if epoch is not None else len(self.history)
-
-        payload_state = {
-            k: v
-            for k, v in self._train_state.items()
-            if v is not None and k != "epoch_step"  # transient counter
-        }
-        # checkpoints store the platform-independent split layout
-        payload_state = self._state_to_split_layout(payload_state)
-        payload = {
-            "state": payload_state,
-            "epoch": jnp.asarray(epoch, jnp.int32),
-        }
-        full = self._state_ckpt_dir(path)
-        checkpointer = ocp.StandardCheckpointer()
-        checkpointer.save(full, payload, force=True)
-        checkpointer.wait_until_finished()
-        return full
+        return checkpointing.save_training_state(self, path, epoch)
 
     def _restore_training_state(self, path: str, template_state):
-        import orbax.checkpoint as ocp
+        from . import checkpointing
 
-        tmpl_state = {
-            k: v for k, v in template_state.items() if v is not None}
-        tmpl_state = self._state_to_split_layout(tmpl_state)
-        template = {
-            "state": tmpl_state,
-            "epoch": jnp.zeros((), jnp.int32),
-        }
-        checkpointer = ocp.StandardCheckpointer()
-        try:
-            restored = checkpointer.restore(path, template)
-            converted = True
-        except Exception:
-            # pre-migration checkpoints stored the runtime (possibly
-            # packed / stacked) layout directly — retry with the
-            # unconverted template
-            template["state"] = {
-                k: v for k, v in template_state.items() if v is not None
-            }
-            restored = checkpointer.restore(path, template)
-            converted = False
-        state = dict(template_state)
-        state.update(restored["state"])
-        if converted:
-            state = self._state_to_runtime_layout(state)
-        return state, int(restored["epoch"])
+        return checkpointing.restore_training_state(self, path, template_state)
 
     def save_checkpoint(self, path: str):
-        import orbax.checkpoint as ocp
+        from . import checkpointing
 
-        path = os.path.abspath(
-            os.path.join(path, f"{self.model_name}_{self.task_name}_seed{self.seed}")
-        )
-        ckpt = self.best_variables or self.variables
-        # canonicalize: drop empty collections so save/restore templates
-        # agree regardless of whether fit() has run
-        ckpt = {k: v for k, v in ckpt.items() if v}
-        checkpointer = ocp.StandardCheckpointer()
-        checkpointer.save(path, ckpt, force=True)
-        checkpointer.wait_until_finished()
-        return path
+        return checkpointing.save_checkpoint(self, path)
 
     def restore_checkpoint(self, path: str):
-        import orbax.checkpoint as ocp
+        from . import checkpointing
 
-        if self.variables is None:
-            raise ValueError("call fit() or init variables before restore")
-        template = {k: v for k, v in self.variables.items() if v}
-        checkpointer = ocp.StandardCheckpointer()
-        restored = checkpointer.restore(path, template)
-        for k in self.variables:
-            if k not in restored:
-                restored[k] = self.variables[k]
-        self.variables = restored
-        self.best_variables = self.variables
-        return self
+        return checkpointing.restore_checkpoint(self, path)
