@@ -98,6 +98,10 @@ class RecModel(nn.Module):
             dual_container=(
                 str(self.mc.extra.get("table_container", "split")) == "stacked"
             ),
+            # shard-major stacked layout on an explicit-collective mesh
+            # (round 5): set stacked_shards = the mesh's 'model' axis size
+            # BEFORE building the model (the trainer validates consistency)
+            dual_shards=int(self.mc.extra.get("stacked_shards", 1) or 1),
             name="embeddings",
         )
 

@@ -203,6 +203,16 @@ class FusedEmbedding(nn.Module):
     # path is unchanged; the table half's init draws EXACTLY the same
     # normals as the split layout (bitwise-equal transplants/fits).
     dual_container: bool = False
+    # dual_shards > 1 (round 5): the stacked container on an
+    # explicit-collective mesh uses the SHARD-MAJOR layout — global rows
+    # [d*2r, (d+1)*2r), r = Vp/n, hold [table_d; monu_d] — so a contiguous
+    # P('model', None) row sharding keeps each physical row's table+moment
+    # pair co-resident on its owner shard (train/sparse_embedding.py
+    # split_stacked_planes).  Forward gathers map physical row p to global
+    # row (p//r)*2r + p%r; 1 = the single-chip plane-major layout
+    # (identity map).  The table plane's values are IDENTICAL to the
+    # plane-major init's, just block-permuted.
+    dual_shards: int = 1
 
     def setup(self):
         if self.grad_mode not in ("auto", "matmul", "scatter"):
@@ -237,6 +247,11 @@ class FusedEmbedding(nn.Module):
             # rows on real TPUs — same constraint as the split pallas
             # update, enforced by the trainer's auto-resolution; narrower
             # test-size tables run the interpret reference path.
+            if self.dual_shards > 1 and shape[0] % self.dual_shards != 0:
+                raise ValueError(
+                    f"stacked container over {self.dual_shards} shards needs "
+                    f"the physical row count {shape[0]} to divide evenly"
+                )
 
             def dual_init(key, s, dtype=jnp.float32):
                 # write the (bitwise split-identical) table draw into the
@@ -245,8 +260,15 @@ class FusedEmbedding(nn.Module):
                 # peak HBM at ~the fat buffer (a concat holds fat + both
                 # halves live — OOM at 40M x 32 on 16 GB chips)
                 half = (s[0] // 2, s[1])
+                base = base_init(key, half, dtype)
+                if self.dual_shards > 1:
+                    # shard-major: interleave [table_d; monu_d] blocks
+                    from ..train.sparse_embedding import fold_stacked_planes
+
+                    return fold_stacked_planes(
+                        base, jnp.zeros(half, dtype), self.dual_shards)
                 return jax.lax.dynamic_update_slice(
-                    jnp.zeros(s, dtype), base_init(key, half, dtype), (0, 0))
+                    jnp.zeros(s, dtype), base, (0, 0))
 
             self.table = self.param(
                 "table", dual_init, (2 * shape[0], shape[1]))
@@ -257,6 +279,27 @@ class FusedEmbedding(nn.Module):
         """ids: int32 [B, F] (per-feature local ids) -> [B, F, dim]."""
         flat_ids = ids + self._offsets[None, :]
         P = self.pack_factor
+        if self.dual_container and self.dual_shards > 1:
+            # shard-major stacked layout: map physical rows to their global
+            # container rows; matmul-grad is bypassed (its backward assumes
+            # the plane-major [V, D] block layout), irrelevant here — the
+            # explicit two-phase step never differentiates through this
+            # gather (rows are injected) and eval takes no grads.
+            from ..train.sparse_embedding import stacked_table_rows
+
+            Vp = self.table.shape[0] // 2
+            phys = flat_ids // P if P > 1 else flat_ids
+            sup = jnp.take(
+                self.table, stacked_table_rows(phys, Vp, self.dual_shards),
+                axis=0,
+            )
+            if P == 1:
+                return sup
+            sub = jax.nn.one_hot(flat_ids % P, P, dtype=self.table.dtype)
+            return jnp.einsum(
+                "bfp,bfpd->bfd", sub,
+                sup.reshape(*sup.shape[:-1], P, self.dim),
+            )
         if P == 1:
             vmax = int(max(self.vocab_sizes))
             onehot_bytes = int(np.prod(ids.shape)) * vmax * 4
@@ -294,6 +337,7 @@ class EmbeddingCollection(nn.Module):
     grad_mode: str = "auto"
     grad_budget_divisor: int = 1  # vmap stack width (see FusedEmbedding)
     dual_container: bool = False  # fold the moment container into the param
+    dual_shards: int = 1  # shard-major stacked layout (see FusedEmbedding)
 
     def setup(self):
         sparse_names = [s.feature.embedding_name for s in self.layout.sparse_slots]
@@ -311,6 +355,7 @@ class EmbeddingCollection(nn.Module):
                 grad_mode=self.grad_mode,
                 grad_budget_divisor=self.grad_budget_divisor,
                 dual_container=self.dual_container,
+                dual_shards=self.dual_shards,
             )
             # varlen features (and only those) get dedicated tables.
             table_names = varlen_names

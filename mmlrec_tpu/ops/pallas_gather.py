@@ -173,6 +173,7 @@ def pallas_rows_gather_dual(
     ids: jnp.ndarray,
     *,
     n_real=None,
+    bounds=None,
     chunk: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -197,17 +198,26 @@ def pallas_rows_gather_dual(
     """
     assert stacked.ndim == 3 and stacked.shape[0] == 2, stacked.shape
     K = ids.shape[0]
-    if n_real is None:
-        bounds = jnp.asarray([0, K], jnp.int32)
-    else:
-        bounds = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), n_real.astype(jnp.int32).reshape(1)]
-        )
+    windowed = n_real is not None or bounds is not None
+    if bounds is None:
+        # ``bounds`` ([2] int32 (lo, hi)) generalizes n_real for the SHARDED
+        # path (round 5): each mesh shard fetches only its contiguous owned
+        # window of the sorted unique slot list — (n-1)/n of the row-pair
+        # DMAs skipped vs a full fetch.  Same skip semantics as
+        # pallas_rows_write_dual; bounds overrides n_real.
+        if n_real is None:
+            bounds = jnp.asarray([0, K], jnp.int32)
+        else:
+            bounds = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32),
+                 n_real.astype(jnp.int32).reshape(1)]
+            )
     if interpret and interpret != "pallas":
         got = jnp.take(stacked, ids, axis=1)
-        if n_real is None:
+        if not windowed:
             return got
-        valid = (jnp.arange(K) < bounds[1])[None, :, None]
+        k = jnp.arange(K)
+        valid = ((k >= bounds[0]) & (k < bounds[1]))[None, :, None]
         poison = jnp.nan if jnp.issubdtype(got.dtype, jnp.inexact) else jnp.iinfo(got.dtype).min
         return jnp.where(valid, got, poison)
     assert K % chunk == 0, (K, chunk)

@@ -23,13 +23,14 @@ schedule is exactly:
 Numerics match the single-device two-phase step exactly (modulo f32
 reduction order); pinned by tests/test_sharding.py.
 
-Scope gate (explicit path only — the GSPMD path has no such limit):
-dropout must be 0 (per-shard PRNG streams would decorrelate from the
-global-batch stream).  batch_stats models (dnn_use_bn / STAR's
-DomainBatchNorm — configs_mtl/config_census.json:38, configs_msl/
-config_amazon.json:38) are supported since round 4: BN layers psum their
-batch moments over 'data' (ops/layers.py bn_cross_replica_axis) so the
-statistics equal the global batch's.
+batch_stats models (dnn_use_bn / STAR's DomainBatchNorm —
+configs_mtl/config_census.json:38, configs_msl/config_amazon.json:38)
+are supported since round 4: BN layers psum their batch moments over
+'data' (ops/layers.py bn_cross_replica_axis) so the statistics equal the
+global batch's.  Dropout is supported since round 5 (VERDICT r4 #6):
+masks are drawn for the GLOBAL batch and row-sliced per shard
+(ops/layers.py dropout_global_batch), so per-shard streams are
+bit-identical to the single-device program's.
 
 Reference: the rebuilt exchange has no counterpart — the reference's only
 parallelism is ``torch.nn.DataParallel`` (model/basemodel.py:235-238).
@@ -45,11 +46,16 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
 
-from ..ops.layers import bn_cross_replica_axis
-from ..train.sparse_embedding import SparseAdamPackedState, SparseAdamState
+from ..ops.layers import bn_cross_replica_axis, dropout_global_batch
+from ..train.sparse_embedding import (
+    SparseAdamFoldedState,
+    SparseAdamPackedState,
+    SparseAdamState,
+)
 from .shard_embedding import (
     owned_gather,
     sharded_two_phase_sparse_adam,
+    sharded_two_phase_sparse_adam_folded,
     sharded_two_phase_sparse_adam_pallas,
 )
 
@@ -62,11 +68,6 @@ def make_explicit_two_phase_step(trainer):
     mesh = trainer.mesh
     if mesh is None or "data" not in mesh.shape or "model" not in mesh.shape:
         raise ValueError("explicit_collective_embedding needs a (data, model) mesh")
-    if float(trainer.cfg.model_config.dnn_dropout or 0.0) != 0.0:
-        raise NotImplementedError(
-            "explicit_collective_embedding requires dnn_dropout == 0 "
-            "(per-shard dropout streams would diverge from the global batch)"
-        )
     n_data = mesh.shape["data"]
     dim = trainer._emb_dim
     pack_factor = trainer._emb_pack_factor
@@ -74,6 +75,12 @@ def make_explicit_two_phase_step(trainer):
     offsets = trainer._fused_offsets
 
     use_pallas = trainer.table_update == "pallas"
+    # round 5: the stacked table+moment container on the mesh — the fat
+    # param's shard-major [2r, W] slices keep each owned row's pair local
+    # (sharded_two_phase_sparse_adam_folded); the forward fetch gathers
+    # from the local table plane (shard[:r]).
+    folded = getattr(trainer, "table_container", "split") == "stacked"
+    update_space = getattr(trainer, "update_space", "position")
     pallas_interpret = getattr(trainer, "_pallas_interpret", True)
     # grad_exchange_chunks > 1 pipelines the ID/grad exchange: the row
     # cotangents are all-gathered in C tiles and the duplicate-reduction
@@ -91,7 +98,11 @@ def make_explicit_two_phase_step(trainer):
         k_loc = B_loc * F
         shard_i = jax.lax.axis_index("data")
         flat_local = (ids + offsets[None, :]).reshape(-1)
-        rows = owned_gather(table, flat_local, dim, pack_factor)  # psum 'model'
+        # folded: the local slice is [table_d; monu_d] — the forward fetch
+        # reads the table plane only (base/r_local math is unchanged since
+        # owned_gather keys on the plane's row count)
+        fwd_table = table[: table.shape[0] // 2] if folded else table
+        rows = owned_gather(fwd_table, flat_local, dim, pack_factor)  # psum 'model'
         rng, step_rng = jax.random.split(rng)
         # rep slice for this data shard: partitions the touched-rows L2 term
         rep_local = jax.lax.dynamic_slice_in_dim(rep, shard_i * k_loc, k_loc)
@@ -102,8 +113,12 @@ def make_explicit_two_phase_step(trainer):
             # batch-stats models: BN layers psum their batch moments over
             # 'data' (ops/layers.py bn_cross_replica_axis) so statistics
             # equal the global batch's and the mutated running stats are
-            # replicated across both mesh axes
-            with bn_cross_replica_axis("data" if bstats else None):
+            # replicated across both mesh axes.  Dropout (round 5, VERDICT
+            # r4 #6): masks draw for the GLOBAL batch and row-slice per
+            # shard (ops/layers.py dropout_global_batch) so per-shard
+            # streams equal the single-device program's.
+            with bn_cross_replica_axis("data" if bstats else None), \
+                    dropout_global_batch("data", n_data):
                 return trainer._loss_terms_injected(
                     rest_, table, rows_.reshape(B_loc, F, dim), bstats,
                     local_batch, step_rng, reg_scale=1.0 / n_data,
@@ -166,11 +181,19 @@ def make_explicit_two_phase_step(trainer):
                      gdup_pos=meta[7], gdup_tgt=meta[8])
                 if len(meta) > 4 else {}
             )
-            new_table, new_topt = sharded_two_phase_sparse_adam_pallas(
-                table, g_rows_all, flat_all, inv, rep, pids, pinv, nuniq,
-                prep, topt, lr=lr, pack_factor=pack_factor,
-                interpret=pallas_interpret, g_sum=g_sum, **route,
-            )
+            if folded:
+                new_table, new_topt = sharded_two_phase_sparse_adam_folded(
+                    table, g_rows_all, flat_all, inv, rep, pids, pinv,
+                    nuniq, prep, topt, lr=lr, pack_factor=pack_factor,
+                    interpret=pallas_interpret, g_sum=g_sum,
+                    update_space=update_space, **route,
+                )
+            else:
+                new_table, new_topt = sharded_two_phase_sparse_adam_pallas(
+                    table, g_rows_all, flat_all, inv, rep, pids, pinv,
+                    nuniq, prep, topt, lr=lr, pack_factor=pack_factor,
+                    interpret=pallas_interpret, g_sum=g_sum, **route,
+                )
         else:
             new_table, new_topt = sharded_two_phase_sparse_adam(
                 table, g_rows_all, flat_all, inv, rep, topt,
@@ -186,11 +209,14 @@ def make_explicit_two_phase_step(trainer):
     def step(state, batch):
         ids, dense, y, dmask, weight, inv, rep = batch[:7]
         meta = tuple(batch[7:])  # (pids, pinv, nuniq, prep[, route]) pallas
-        topt_spec = (
-            SparseAdamPackedState(monu=row_sharded, count=P())
-            if isinstance(state["table_opt"], SparseAdamPackedState)
-            else SparseAdamState(mu=row_sharded, nu=row_sharded, count=P())
-        )
+        topt = state["table_opt"]
+        if isinstance(topt, SparseAdamFoldedState):
+            topt_spec = SparseAdamFoldedState(count=P())
+        elif isinstance(topt, SparseAdamPackedState):
+            topt_spec = SparseAdamPackedState(monu=row_sharded, count=P())
+        else:
+            topt_spec = SparseAdamState(
+                mu=row_sharded, nu=row_sharded, count=P())
         rest, table = trainer._without_table(state["params"])
         bstats = state.get("batch_stats") or {}
         batch_specs = (

@@ -156,6 +156,227 @@ def sharded_two_phase_sparse_adam(
     return table_shard, SparseAdamState(mu=mu, nu=nu, count=count)
 
 
+def sharded_two_phase_sparse_adam_folded(
+    fat_shard: jnp.ndarray,  # [2*r_local, W] local [table_d; monu_d] slice
+    g_rows: jnp.ndarray,  # [K, D] global row cotangents, replicated on 'model'
+    flat_ids: jnp.ndarray,  # [K] global logical ids, replicated
+    inv: jnp.ndarray,
+    rep: jnp.ndarray,
+    pids: jnp.ndarray,  # [Kp] unique physical rows (sorted prefix + tail pads)
+    pinv: jnp.ndarray,  # [K] slot of each logical id's physical row
+    nuniq: jnp.ndarray,  # [1] unique count
+    prep: jnp.ndarray,  # [K] 1.0 at each physical row's first occurrence
+    state,  # SparseAdamFoldedState (count only; moments live in the param)
+    lr: float,
+    pack_factor: int = 1,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    interpret: bool = False,
+    axis_name: str = "model",
+    g_sum: jnp.ndarray = None,
+    accperm=None,
+    resid_pos=None,
+    resid_slot=None,
+    gdup_pos=None,
+    gdup_tgt=None,
+    update_space: str = "position",
+    chunk: int = 256,
+):
+    """The STACKED-container table update on the row-sharded mesh (round 5,
+    VERDICT r4 #1) — the full single-chip round-4 recipe, shard-local:
+
+    * the fat param uses the SHARD-MAJOR layout
+      (train/sparse_embedding.py split_stacked_planes): this shard's
+      [2r, W] slice is [table_d; monu_d], so ``reshape(2, r, W)`` is its
+      own local stacked container and BOTH planes of every owned physical
+      row are local — zero collectives in the entire update;
+    * phase-1 old rows ride the dual pair-gather kernel
+      (ops/pallas_gather.py — ONE [2, 1, 128] strided DMA per row-pair,
+      clipped local ids; non-owned rows are masked to zero and only feed
+      slots outside this shard's bounds window);
+    * wide-lane Adam math + per-plane int32 gather-route dedup exactly as
+      single-chip (train/sparse_embedding.py two_phase_sparse_adam_unique
+      folded branch);
+    * ``update_space='slot'`` runs the slot-granularity variant
+      (two_phase_sparse_adam_slot): pair-gather by pids, ONE-plane
+      gradient route, slot-space wide-lane math;
+    * the write streams this shard's contiguous owned window of the
+      sorted unique row list through pallas_rows_write_dual's bounds mode.
+
+    Owned written rows are BITWISE equal to the single-chip stacked path
+    (pinned by tests/test_mesh_stacked.py): per owned lane the identical
+    scalar chain runs on identical inputs, and every contributor of an
+    in-window slot is owned by this shard (contributors of a slot share
+    its physical row).  Reference: the reference's only parallelism is
+    ``torch.nn.DataParallel`` (model/basemodel.py:235-238).
+    """
+    from ..ops.pallas_gather import pallas_rows_gather_dual
+    from ..ops.pallas_scatter import pallas_rows_write_dual
+    from ..train.sparse_embedding import (
+        SparseAdamFoldedState,
+        pack_monu_rounded,
+        unpack_monu_f32,
+    )
+
+    dim = g_rows.shape[-1]
+    K = g_rows.shape[0]
+    P = pack_factor
+    W = fat_shard.shape[1]
+    assert fat_shard.shape[0] % 2 == 0, fat_shard.shape
+    r_local = fat_shard.shape[0] // 2
+    base = jax.lax.axis_index(axis_name) * r_local
+    Kp = pids.shape[0]
+    count = state.count + 1
+    t = count.astype(jnp.float32)
+    stacked_local = fat_shard.reshape(2, r_local, W)
+    phys = flat_ids // P if P > 1 else flat_ids
+    bounds = _owned_bounds(pids, nuniq, base, r_local)
+    local_pids = (pids - base).astype(jnp.int32)
+
+    if g_sum is None:
+        if gdup_pos is not None:
+            g_sum = g_rows.at[gdup_tgt].add(g_rows[gdup_pos], mode="drop")
+        else:
+            g_sum = jnp.zeros_like(g_rows).at[inv].add(g_rows)
+
+    if update_space == "slot":
+        # ---- SLOT-SPACE branch (single-chip two_phase_sparse_adam_slot,
+        # shard-local): pair-gather the n_phys_unique slot rows (clipped
+        # local ids — non-owned slots fetch garbage that only lands
+        # outside the bounds window), route ONE masked-gradient plane +
+        # the lane-ownership plane, run the wide-lane chain at slot
+        # granularity, write the owned window.
+        assert accperm is not None, "slot space needs the gather route"
+        # bounds-windowed pair-gather: only this shard's contiguous owned
+        # slot window issues DMAs ((n-1)/n skipped); out-window slots are
+        # poisoned/uninitialized and only feed values the bounded write
+        # drops
+        pair = pallas_rows_gather_dual(
+            stacked_local,
+            jnp.clip(local_pids, 0, r_local - 1),
+            bounds=bounds,
+            chunk=min(chunk, Kp),
+            interpret=interpret,
+        )
+        sup_slot, monu_slot = pair[0], pair[1]
+        rep_b = rep > 0
+        if P > 1:
+            own_mask = (
+                (jnp.arange(P * dim, dtype=jnp.int32) // dim)[None, :]
+                == (flat_ids % P).astype(jnp.int32)[:, None]
+            )  # [K, W]
+            g_wide = jnp.broadcast_to(
+                g_sum[:, None, :], (K, P, dim)).reshape(K, W)
+            gw = jnp.where(own_mask & rep_b[:, None], g_wide, 0.0)
+            ow = (
+                (jnp.arange(P, dtype=jnp.int32)[None, :]
+                 == (flat_ids % P).astype(jnp.int32)[:, None])
+                & rep_b[:, None]
+            ).astype(jnp.int32)  # [K, P]
+        else:
+            gw = jnp.where(rep_b[:, None], g_sum, 0.0)
+            ow = rep_b[:, None].astype(jnp.int32)  # [K, 1]
+        gwi = jax.lax.bitcast_convert_type(gw, jnp.int32)
+        g_slot = jax.lax.bitcast_convert_type(
+            gwi[accperm].at[resid_slot].add(gwi[resid_pos], mode="drop"),
+            jnp.float32,
+        )  # [Kp, W]
+        ow_slot = ow[accperm].at[resid_slot].add(ow[resid_pos], mode="drop")
+        touched = jnp.broadcast_to(
+            (ow_slot > 0)[:, :, None],
+            (Kp, ow_slot.shape[1], W // ow_slot.shape[1]),
+        ).reshape(Kp, W)
+        mu_w, nu_w = unpack_monu_f32(monu_slot)
+        new_mu_w = b1 * mu_w + (1.0 - b1) * g_slot
+        new_nu_w = b2 * nu_w + (1.0 - b2) * g_slot * g_slot
+        mu_hat_w = new_mu_w / (1.0 - b1**t)
+        nu_hat_w = new_nu_w / (1.0 - b2**t)
+        d_w = -lr * mu_hat_w / (jnp.sqrt(nu_hat_w) + eps)
+        new_t = jnp.where(touched, sup_slot + d_w, sup_slot)
+        new_monu = jnp.where(
+            touched, pack_monu_rounded(new_mu_w, new_nu_w), monu_slot)
+        new_stacked = pallas_rows_write_dual(
+            stacked_local, local_pids, jnp.stack([new_t, new_monu]),
+            bounds=bounds, chunk=min(chunk, Kp), interpret=interpret,
+        )
+        return (
+            new_stacked.reshape(fat_shard.shape),
+            SparseAdamFoldedState(count=count),
+        )
+
+    # ---- POSITION-SPACE branch (single-chip folded branch of
+    # two_phase_sparse_adam_unique, shard-local)
+    local = phys - base
+    owned = (local >= 0) & (local < r_local)
+    pair = pallas_rows_gather_dual(
+        stacked_local,
+        jnp.clip(local, 0, r_local - 1).astype(jnp.int32),
+        chunk=min(chunk, K),
+        interpret=interpret,
+    )  # [2, K, W] — ONE strided DMA per pair, as single-chip pair_gather
+    sup = jnp.where(owned[:, None], pair[0], 0)
+    sup_c = jnp.where(owned[:, None], pair[1], 0)
+    r = rep[:, None]
+    own_mask = (
+        ((jnp.arange(P * dim, dtype=jnp.int32) // dim)[None, :]
+         == (flat_ids % P).astype(jnp.int32)[:, None])
+        if P > 1 else None
+    )
+
+    def _tile(x):
+        return jnp.broadcast_to(
+            x[:, None, :], (K, P, x.shape[-1])).reshape(K, P * x.shape[-1])
+
+    def own_sel(x):
+        return jnp.where(own_mask, x, 0.0) if P > 1 else x
+
+    mu_w, nu_w = unpack_monu_f32(sup_c)
+    g_w = own_sel(_tile(g_sum)) if P > 1 else g_sum
+    new_mu_w = b1 * mu_w + (1.0 - b1) * g_w
+    new_nu_w = b2 * nu_w + (1.0 - b2) * g_w * g_w
+    mu_hat_w = new_mu_w / (1.0 - b1**t)
+    nu_hat_w = new_nu_w / (1.0 - b2**t)
+    d_table_w = -lr * mu_hat_w / (jnp.sqrt(nu_hat_w) + eps) * r
+    vals_c = pack_monu_rounded(new_mu_w, new_nu_w)
+    r_w = jnp.broadcast_to(r, (K, W))
+    own = jnp.where(own_mask, r_w, 0.0) if P > 1 else r_w
+    old_i = jax.lax.bitcast_convert_type(sup_c, jnp.int32)
+    new_i = jax.lax.bitcast_convert_type(vals_c, jnp.int32)
+    contrib_monu_i = (
+        jnp.where(own > 0, new_i - old_i, 0)
+        + prep.astype(jnp.int32)[:, None] * old_i
+    )
+    old_ti = jax.lax.bitcast_convert_type(sup, jnp.int32)
+    new_t = sup + own_sel(d_table_w)
+    contrib_t_i = (
+        jnp.where(
+            own > 0,
+            jax.lax.bitcast_convert_type(new_t, jnp.int32) - old_ti,
+            0,
+        )
+        + prep.astype(jnp.int32)[:, None] * old_ti
+    )
+    if accperm is not None:
+        def plane(c):
+            return c[accperm].at[resid_slot].add(c[resid_pos], mode="drop")
+
+        accd = jnp.stack([plane(contrib_t_i), plane(contrib_monu_i)])
+    else:
+        accd = jnp.zeros((2, Kp, W), jnp.int32).at[:, pinv].add(
+            jnp.stack([contrib_t_i, contrib_monu_i])
+        )
+    new_stacked = pallas_rows_write_dual(
+        stacked_local, local_pids,
+        jax.lax.bitcast_convert_type(accd, jnp.float32),
+        bounds=bounds, chunk=min(chunk, Kp), interpret=interpret,
+    )
+    return (
+        new_stacked.reshape(fat_shard.shape),
+        SparseAdamFoldedState(count=count),
+    )
+
+
 def _owned_bounds(pids, nuniq, base, r_local):
     """Contiguous slot window [lo, hi) of this shard's rows within the
     sorted unique physical row list (slots >= nuniq are tail pads)."""

@@ -135,11 +135,16 @@ def save_serving_bundle(
 
         cfg2 = _copy.deepcopy(trainer.cfg)
         cfg2.model_config.extra["table_container"] = "split"
+        cfg2.model_config.extra.pop("stacked_shards", None)
         model = get_model(cfg2.model_config.model_name, trainer.layout, cfg2)
         emb = dict(variables["params"]["embeddings"])
         fused = dict(emb["fused"])
         fat = fused["table"]
-        fused["table"] = fat[: fat.shape[0] // 2]
+        from .train.sparse_embedding import split_stacked_planes
+
+        fused["table"] = split_stacked_planes(
+            jnp.asarray(fat), getattr(trainer, "_stacked_shards", 1)
+        )[0]
         emb["fused"] = fused
         variables = {
             **variables,

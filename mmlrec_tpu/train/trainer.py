@@ -91,6 +91,18 @@ def resolve_table_container(cfg, layout, mesh=None) -> None:
     """
     mc = cfg.model_config
     if mc.extra.get("table_container") is not None:
+        # round 5: a USER-set stacked container on an explicit-collective
+        # mesh needs the shard-major layout baked into the model — resolve
+        # stacked_shards from the mesh here so main.py-style drivers need
+        # no extra plumbing (Trainer validates the final consistency)
+        if (
+            mc.extra["table_container"] == "stacked"
+            and mesh is not None
+            and "model" in getattr(mesh, "shape", {})
+            and mc.extra.get("stacked_shards") is None
+            and mc.extra.get("explicit_collective_embedding")
+        ):
+            mc.extra["stacked_shards"] = int(mesh.shape["model"])
         return
     if stacked_auto_conditions(
         cfg, layout, mesh, cfg.training_config.train_batch_size
@@ -340,6 +352,7 @@ class Trainer:
                 f"table_container must be split|stacked, got "
                 f"{self.table_container!r}"
             )
+        self._stacked_shards = 1
         if self.table_container == "stacked":
             if self.table_update != "pallas":
                 raise ValueError(
@@ -352,10 +365,33 @@ class Trainer:
                     "moments (table_opt_dtype='bfloat16')"
                 )
             if self.mesh is not None:
-                raise ValueError(
-                    "table_container='stacked' is single-device; use the "
-                    "explicit_collective_embedding split layout on a mesh"
-                )
+                # round 5: the stacked container runs on a mesh through the
+                # explicit-collective path with the SHARD-MAJOR layout
+                # (train/sparse_embedding.py split_stacked_planes) — each
+                # shard's slice holds its own [table_d; monu_d] pair so the
+                # dual-DMA kernels stay zero-collective.
+                if not mc.extra.get("explicit_collective_embedding"):
+                    raise ValueError(
+                        "table_container='stacked' on a mesh requires the "
+                        "explicit_collective_embedding path (GSPMD keeps "
+                        "the split layout)"
+                    )
+                n_model = self.mesh.shape.get("model", 1)
+                if self._emb_phys_rows_static() % max(n_model, 1) != 0:
+                    raise ValueError(
+                        f"stacked container needs the physical row count "
+                        f"({self._emb_phys_rows_static()}) divisible by the "
+                        f"'model' axis ({n_model})"
+                    )
+                declared = int(mc.extra.get("stacked_shards", 1) or 1)
+                if declared != n_model:
+                    raise ValueError(
+                        f"model was built with stacked_shards={declared} but "
+                        f"the mesh 'model' axis is {n_model}; set "
+                        "model_config.extra['stacked_shards'] to the mesh's "
+                        "'model' size BEFORE building the model"
+                    )
+                self._stacked_shards = n_model
         # pair_gather="dual": fetch each touched row's (table, monu) pair
         # with ONE [2, 1, 128] strided DMA (ops/pallas_gather.py
         # pallas_rows_gather_dual, 12.8 ns/row-PAIR) instead of two

@@ -357,3 +357,35 @@ def test_explicit_step_batch_stats_models(model_name):
     p1 = tr_s.predict(x, batch_size=64)
     p2 = tr_e.predict(x2, batch_size=64)
     np.testing.assert_allclose(p1, p2, rtol=2e-3, atol=5e-4)
+
+
+def test_explicit_step_dropout_matches_single_device():
+    """Round-5 dropout under explicit collectives (VERDICT r4 #6): masks
+    are drawn for the GLOBAL batch and row-sliced per shard
+    (ops/layers.py dropout_global_batch), so a dnn_dropout>0 fit on the
+    explicit path matches the unsharded two-phase run — bit-identical
+    masks, psum reduction-order noise only."""
+    def setup(mesh):
+        extra = {"two_phase_embedding": True}
+        if mesh is not None:
+            extra["explicit_collective_embedding"] = True
+        cfg = make_config(task_name="mtl", model_name="mmoe", n_sparse=4,
+                          n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,),
+                          batch_size=64, lr=3e-3, dnn_dropout=0.3, **extra)
+        layout, x, y, _ = make_data(cfg, n=256, seed=0)
+        model = get_model("mmoe", layout, cfg)
+        return Trainer(model, seed=0, mesh=mesh).compile(), x, y
+
+    tr_s, x, y = setup(None)
+    tr_s.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False)
+    tr_e, x2, y2 = setup(create_mesh(data=4, model=2))
+    tr_e.fit(x2, y2, batch_size=64, epochs=2, verbose=0, shuffle=False)
+    p1 = tr_s.predict(x, batch_size=64)
+    p2 = tr_e.predict(x2, batch_size=64)
+    np.testing.assert_allclose(p1, p2, rtol=2e-3, atol=2e-4)
+    # a WRONG dropout stream (e.g. per-shard masks) would diverge fast:
+    # check the tables agree too
+    t1 = np.asarray(tr_s._train_state["params"]["embeddings"]["fused"]["table"])
+    t2 = np.asarray(
+        jax.device_get(tr_e._train_state["params"]["embeddings"]["fused"]["table"]))
+    np.testing.assert_allclose(t1, t2, rtol=1e-4, atol=1e-6)
