@@ -9,9 +9,11 @@ device step, so fits were host-bound; the native single-pass kernel
 (native/step_metadata.cpp) is 1.6-2.0 ms/batch and hides behind the
 device epoch.
 
-Usage: python benchmarks/bench_40m_fit_e2e.py [native|numpy|block ...]
+Usage: python benchmarks/bench_40m_fit_e2e.py [native|numpy|block|nocompact ...]
 ("block" = native metadata + shuffle='block': fixed batch composition,
-metadata staged ONCE and reordered on device per epoch)
+metadata staged ONCE and reordered on device per epoch; "nocompact" =
+the full-shuffle native arm with the round-5 uint16/uint8 metadata
+upload compaction DISABLED — the A/B for the ~3x byte cut)
 Env: ROWS (default 1_000_000), EPOCHS (default 4), VOCAB_PER_FEATURE.
 Prints one JSON line per arm; steady-state ex/s excludes epoch 1
 (compile + first staging).
@@ -52,6 +54,7 @@ def run(arm: str):
             gate=(64,), batch_size=BATCH, two_phase_embedding=True,
             table_opt_dtype="bfloat16", table_update="pallas",
             table_container="stacked",
+            meta_compact=(arm != "nocompact"),
         )
         cols = [SparseFeat(f"s{i}", VOCAB, EMB_DIM)
                 for i in range(N_SPARSE)] + [

@@ -107,6 +107,16 @@ def main() -> None:
             if os.environ.get("GATE_ALPHA"):
                 config["model_config"]["snr_gate_alpha"] = (
                     os.environ["GATE_ALPHA"])
+            # GATE_WARMUP=E: round-5 deterministic-gate warmup (VERDICT r4
+            # #4) — first E epochs train with the midpoint gate so takeoff
+            # beats the patience-3 early stop, then the noise engages
+            if os.environ.get("GATE_WARMUP"):
+                config["model_config"]["snr_gate_noise_warmup_epochs"] = (
+                    int(os.environ["GATE_WARMUP"]))
+            # GATE_OPEN=a0: Louizos-style open-gate alpha init (round 5)
+            if os.environ.get("GATE_OPEN"):
+                config["model_config"]["snr_gate_open_init"] = (
+                    float(os.environ["GATE_OPEN"]))
         for seed in seeds:
             key = f"{model_name}_seed{seed}"
             if key in done:

@@ -66,6 +66,10 @@ class _SNRBase(RecModel):
                 per_connection_alpha=(
                     mc.extra.get("snr_gate_alpha", "scalar")
                     == "per_connection"),
+                # open-gate init (round 5): start at the no-gates ceiling
+                # and let the L0 machinery prune — fixes the mssm MTL
+                # patience-3 takeoff race (see SNRGate.open_init_alpha)
+                open_init_alpha=mc.extra.get("snr_gate_open_init"),
                 name=f"gate_{i + 1}",
             )(x, train=train)  # [B, out_dim, units[i]]
 

@@ -99,6 +99,37 @@ def dropout_global_batch(axis: Optional[str], n_shards: int = 1):
         _DROPOUT_GLOBAL_BATCH.reset(tok)
 
 
+# ---------------------------------------------------------------------------
+# Stochastic-gate noise warmup (round 5, VERDICT r4 #4).  The MTL
+# protocol's patience-3 early stop races the hard-concrete gate noise:
+# fresh u each step delays head takeoff past the patience window on some
+# seeds (BASELINE.md "stochastic-gate caveat").  The Trainer's
+# ``snr_gate_noise_warmup_epochs`` knob traces the first E epochs' step
+# programs inside this context — SNRGate then uses the DETERMINISTIC
+# midpoint gate (u = 0.5) at train time, so heads take off as in the
+# deterministic mode, and the noise (with its dead-gate-revival and L0
+# behavior) engages only after the warmup.  Trace-time constant, same
+# pattern as bn_cross_replica_axis.
+# ---------------------------------------------------------------------------
+
+_GATE_NOISE_OFF: contextvars.ContextVar = contextvars.ContextVar(
+    "gate_noise_off", default=False
+)
+
+
+@contextlib.contextmanager
+def gate_noise_off(active: bool):
+    tok = _GATE_NOISE_OFF.set(bool(active))
+    try:
+        yield
+    finally:
+        _GATE_NOISE_OFF.reset(tok)
+
+
+def gate_noise_is_off() -> bool:
+    return _GATE_NOISE_OFF.get()
+
+
 class ShardedDropout(nn.Module):
     """nn.Dropout semantics (bernoulli keep mask, x / keep_prob), plus the
     global-batch mode above.  Reference: torch ``F.dropout`` inside DNN
@@ -561,6 +592,18 @@ class SNRGate(nn.Module):
     # keep-rate is learned while the noise keeps clipped gates alive.
     # Enabled via model_config ``snr_gate_alpha: "per_connection"``.
     per_connection_alpha: bool = False
+    # Non-None = initialize alpha to this CONSTANT instead of U(0, 1)
+    # (model_config ``snr_gate_open_init``).  The reference's torch.rand
+    # init puts the mean midpoint gate at z ~ 0.45 with ~11% of
+    # connections born exactly CLOSED (z = 0, zero clip gradient) — on
+    # MTL that halves the slow head's signal and its takeoff loses the
+    # patience-3 early-stop race even with deterministic gates (round-5
+    # warmup experiments, BASELINE.md).  The standard Louizos et al. L0
+    # practice initializes the keep-rate HIGH; alpha >= ~8.7 opens every
+    # midpoint gate fully (z = 1 needs sigmoid(log a / beta) >= 11/12),
+    # so training starts at the no-gates ceiling and the L0 machinery
+    # prunes from there as alpha learns.
+    open_init_alpha: Optional[float] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -570,22 +613,32 @@ class SNRGate(nn.Module):
             if self.elementwise
             else (self.output_dim, self.input_dim)
         ) if self.per_connection_alpha else (1,)
-        alpha = self.param(
-            "alpha", lambda k, s: jax.random.uniform(k, s), alpha_shape
-        )  # torch.rand init (snr_trans.py:13); uniform per connection keeps
-        # the init-time z distribution identical to the scalar variant
+        if self.open_init_alpha is not None:
+            a0 = float(self.open_init_alpha)
+            alpha = self.param(
+                "alpha", lambda k, s: jnp.full(s, a0, jnp.float32),
+                alpha_shape,
+            )  # open-gate init (see open_init_alpha above)
+        else:
+            alpha = self.param(
+                "alpha", lambda k, s: jax.random.uniform(k, s), alpha_shape
+            )  # torch.rand init (snr_trans.py:13); uniform per connection
+            # keeps the init-time z distribution identical to the scalar
+            # variant
         u_shape = (
             (self.output_dim, self.input_dim, self.units)
             if self.elementwise
             else (self.output_dim, self.input_dim)
         )
         if self.stochastic:
-            if train:
+            if train and not gate_noise_is_off():
                 u = jax.random.uniform(
                     self.make_rng("dropout"), u_shape, jnp.float32,
                     self.e, 1.0 - 2.0 ** -20,
                 )
             else:
+                # eval midpoint gate; also the TRAIN gate during the
+                # gate-noise warmup epochs (gate_noise_off above)
                 u = jnp.full(u_shape, 0.5, jnp.float32)
         else:
             u = self.param(

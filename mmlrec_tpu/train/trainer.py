@@ -472,6 +472,16 @@ class Trainer:
             self._scan_steps = 16
         else:
             self._scan_steps = -1 if raw_scan is True else int(raw_scan or 0)
+        # Stochastic-gate noise warmup (round 5, VERDICT r4 #4): train the
+        # first E epochs with the DETERMINISTIC midpoint gate (u = 0.5) so
+        # head takeoff beats tight early-stop patience, then engage the
+        # hard-concrete noise.  Only meaningful with snr_stochastic_gates;
+        # the warmup/post-warmup programs are separate compiled variants
+        # (ops/layers.py gate_noise_off is a trace-time constant).
+        self._gate_warmup_epochs = int(
+            mc.extra.get("snr_gate_noise_warmup_epochs", 0) or 0
+        )
+        self._gate_warmup_active = False
         self._tx_wrapped = False
 
     # ------------------------------------------------------------------
@@ -897,6 +907,12 @@ class Trainer:
         """One training step: forward + loss + backward + optimizer update.
         Pure function of (state, batch); reused by the per-step jit and the
         scanned whole-epoch jit."""
+        from ..ops.layers import gate_noise_off
+
+        with gate_noise_off(self._gate_warmup_active):
+            return self._step_body_inner(state, batch)
+
+    def _step_body_inner(self, state, batch):
         if self._use_explicit_collectives():
             # hand-placed collectives instead of GSPMD partitioning
             # (parallel/explicit_step.py); shard_map composes under
@@ -1023,6 +1039,11 @@ class Trainer:
             new_state["gn_step"] = state["gn_step"] + 1
         return new_state, total_loss, data_loss, probs
 
+    def _gate_key(self) -> str:
+        """Cache-key suffix separating the gate-noise-warmup step programs
+        from the post-warmup ones (both are live within one fit)."""
+        return "_gw" if self._gate_warmup_active else ""
+
     @property
     def _donate(self):
         return () if self.debug else (0,)
@@ -1042,7 +1063,8 @@ class Trainer:
         # carry shardings the donated aliases must not constrain)
         donate = () if self._use_explicit_collectives() else self._donate
         return self._cached(
-            "train_step", lambda: jax.jit(self._step_body, donate_argnums=donate)
+            "train_step" + self._gate_key(),
+            lambda: jax.jit(self._step_body, donate_argnums=donate),
         )
 
     # -- device-resident stepping --------------------------------------
@@ -1154,7 +1176,8 @@ class Trainer:
             return self._gather_step_body(state, staged, idx2d, w2d, dedup2d)
 
         return self._cached(
-            "gather_step", lambda: jax.jit(gather_step, donate_argnums=self._donate)
+            "gather_step" + self._gate_key(),
+            lambda: jax.jit(gather_step, donate_argnums=self._donate),
         )
 
     def _make_scan_runner(self, kind: str, batch_size: int, length: int):
@@ -1185,7 +1208,7 @@ class Trainer:
             return state, tls, probs
 
         return self._cached(
-            f"scan_{kind}_{batch_size}_{length}",
+            f"scan_{kind}_{batch_size}_{length}" + self._gate_key(),
             lambda: jax.jit(runner, donate_argnums=self._donate),
         )
 
@@ -1195,7 +1218,7 @@ class Trainer:
                 batch_size, state, staged, starts, w2d, dedup2d)
 
         return self._cached(
-            f"slice_step_{batch_size}",
+            f"slice_step_{batch_size}" + self._gate_key(),
             lambda: jax.jit(slice_step, donate_argnums=self._donate),
         )
 
@@ -1432,6 +1455,16 @@ class Trainer:
 
         for epoch in range(initial_epoch, epochs):
             t0 = time.time()
+            if self._gate_warmup_epochs:
+                # deterministic-gate warmup programs for the first E epochs
+                # (separate compiled variants; see _gate_key)
+                self._gate_warmup_active = epoch < self._gate_warmup_epochs
+                train_step = self._make_train_step()
+                if use_device_data:
+                    step_dev = (
+                        self._make_slice_step(batch_size)
+                        if block_mode else self._make_gather_step()
+                    )
             if fs_pool is not None and fs_future is not None:
                 order = None  # this epoch's permutation was drawn ahead
             else:

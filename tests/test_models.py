@@ -288,3 +288,53 @@ def test_snr_gate_alpha_scalar_default_unchanged(layout, batch):
         outs.append(np.asarray(
             model.apply(v, ids, dense, None, train=False)))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_snr_gate_noise_warmup():
+    """snr_gate_noise_warmup_epochs (round 5): the first E epochs train
+    with the deterministic midpoint gate, then the hard-concrete noise
+    engages — separate compiled step variants (_gw cache keys)."""
+    import jax.numpy as jnp
+
+    from mmlrec_tpu.synthetic import make_config, make_data
+    from mmlrec_tpu.train import Trainer
+
+    kw = dict(task_name="mtl", model_name="snr_trans", n_sparse=4,
+              n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,),
+              batch_size=64, lr=3e-3, snr_stochastic_gates=True,
+              snr_gate_alpha="per_connection")
+
+    def fit(warmup, force_active=None, epochs=2):
+        cfg = make_config(**kw, snr_gate_noise_warmup_epochs=warmup)
+        layout, x, y, _ = make_data(cfg, n=256, seed=0)
+        tr = Trainer(get_model("snr_trans", layout, cfg), seed=0).compile()
+        if force_active is not None:
+            tr._gate_warmup_active = force_active
+        tr.fit(x, y, batch_size=64, epochs=epochs, verbose=0, shuffle=False)
+        return tr
+
+    # warmup >= epochs: every train step uses the midpoint gate — equal to
+    # forcing the warmup context for the whole fit
+    tr_a = fit(warmup=10)
+    tr_b = fit(warmup=0, force_active=True)
+    ta = np.asarray(tr_a.variables["params"]["embeddings"]["fused"]["table"])
+    tb = np.asarray(tr_b.variables["params"]["embeddings"]["fused"]["table"])
+    np.testing.assert_array_equal(ta, tb)
+    assert any(k.endswith("_gw") for k in tr_a._step_fns)
+
+    # warmup crossing mid-fit: both program variants get built, training
+    # stays finite, and the result DIFFERS from the all-warmup run (the
+    # noise really engages after epoch 1)
+    tr_c = fit(warmup=1, epochs=3)
+    assert any(k.endswith("_gw") for k in tr_c._step_fns)
+    assert any(
+        (k.startswith("scan_") or k.startswith("train_step")
+         or k.startswith("slice_step") or k == "gather_step")
+        and not k.endswith("_gw")
+        for k in tr_c._step_fns
+    )
+    assert np.isfinite(tr_c.history[-1]["loss"])
+    tr_d = fit(warmup=10, epochs=3)
+    td = np.asarray(tr_d.variables["params"]["embeddings"]["fused"]["table"])
+    tc = np.asarray(tr_c.variables["params"]["embeddings"]["fused"]["table"])
+    assert not np.array_equal(tc, td)
