@@ -30,6 +30,13 @@ import jax.numpy as jnp
 
 def run(route: str, vocab: int = 200_000, n_sparse: int = 16,
         emb_dim: int = 32, batch: int = 4096):
+    # route "stacked" / "stacked_slot" (round 5): the shard-major folded
+    # container on the mesh (sharded_two_phase_sparse_adam_folded) with the
+    # gather route, position- or slot-space — the compiled-bytes record for
+    # the mesh port of the full single-chip kernel recipe
+    container = "stacked" if route.startswith("stacked") else "split"
+    update_space = "slot" if route == "stacked_slot" else "auto"
+    dedup = "gather" if container == "stacked" else route
     from mmlrec_tpu.features import DenseFeat, FeatureLayout, SparseFeat
     from mmlrec_tpu.models import get_model
     from mmlrec_tpu.parallel.mesh import create_mesh
@@ -41,7 +48,9 @@ def run(route: str, vocab: int = 200_000, n_sparse: int = 16,
         n_dense=4, hidden=(256, 128), tower=(64,), gate=(64,),
         batch_size=batch, two_phase_embedding=True,
         explicit_collective_embedding=True, table_update="pallas",
-        table_opt_dtype="bfloat16", dedup_route=route, dnn_dropout=0.0,
+        table_opt_dtype="bfloat16", dedup_route=dedup, dnn_dropout=0.0,
+        **({"table_container": "stacked", "stacked_shards": 4,
+            "update_space": update_space} if container == "stacked" else {}),
     )
     cols = [SparseFeat(f"s{i}", vocab, emb_dim) for i in range(n_sparse)] + [
         DenseFeat(f"d{i}", 1) for i in range(4)]
@@ -56,16 +65,20 @@ def run(route: str, vocab: int = 200_000, n_sparse: int = 16,
     y = jnp.asarray(rng.integers(0, 2, (batch, 2)), jnp.float32)
     trainer.variables = trainer._init_variables(ids_np[:2], np.asarray(dense[:2]))
     params = trainer.variables["params"]
-    from mmlrec_tpu.train.sparse_embedding import init_sparse_adam
+    from mmlrec_tpu.train.sparse_embedding import (
+        SparseAdamFoldedState, init_sparse_adam)
 
     state = {
         "params": params,
         "batch_stats": trainer.variables.get("batch_stats", {}),
         "opt_state": trainer.tx.init(trainer._without_table(params)[0]),
         "rng": jax.random.PRNGKey(1),
-        "table_opt": init_sparse_adam(
-            params["embeddings"]["fused"]["table"], dtype="bfloat16",
-            packed=True),
+        "table_opt": (
+            SparseAdamFoldedState(count=jnp.zeros((), jnp.int32))
+            if container == "stacked"
+            else init_sparse_adam(
+                params["embeddings"]["fused"]["table"], dtype="bfloat16",
+                packed=True)),
     }
     offs = np.asarray(trainer._fused_offsets)[None, :]
     flat = (ids_np.astype(np.int64) + offs).reshape(1, -1)
@@ -94,7 +107,7 @@ def run(route: str, vocab: int = 200_000, n_sparse: int = 16,
 
 
 if __name__ == "__main__":
-    routes = sys.argv[1:] or ["scatter", "gather"]
+    routes = sys.argv[1:] or ["scatter", "gather", "stacked", "stacked_slot"]
     rows = [run(r) for r in routes]
     if len(rows) == 2:
         a, b = rows
