@@ -154,3 +154,42 @@ def test_bundle_stacked_container_strips_moments(tmp_path):
     np.testing.assert_allclose(
         bundle.predict(x), tr.predict(x, batch_size=64), atol=1e-6
     )
+
+
+def test_bundle_mesh_stacked_shard_major_strips_moments(tmp_path):
+    """Round 5: a MESH-stacked trainer (shard-major fat layout) exports
+    the same split-layout bundle — the table plane is extracted through
+    split_stacked_planes(n_shards), predictions match."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from mmlrec_tpu.parallel import create_mesh
+    from mmlrec_tpu.train.sparse_embedding import split_stacked_planes
+    import jax.numpy as jnp
+
+    cfg = make_config(
+        task_name="mtl", model_name="sharedbottom", n_sparse=4, n_dense=2,
+        vocab=80, hidden=(16, 8), tower=(8,), gate=(8,), batch_size=64,
+        lr=3e-3, two_phase_embedding=True,
+        explicit_collective_embedding=True, table_update="pallas",
+        table_opt_dtype="bfloat16", table_container="stacked",
+        dedup_route="gather", stacked_shards=2,
+    )
+    layout, x, y, _ = make_data(cfg, n=256, vocab=80, seed=0)
+    model = get_model("sharedbottom", layout, cfg)
+    tr = Trainer(model, seed=0, mesh=create_mesh(data=4, model=2)).compile(
+        metrics=["auc"])
+    tr.fit(x, y, batch_size=64, epochs=1, verbose=0, shuffle=False)
+    fat = jnp.asarray(jax.device_get(
+        tr.variables["params"]["embeddings"]["fused"]["table"]))
+
+    save_serving_bundle(tr, str(tmp_path), platforms=["cpu"])
+    bundle = ServingBundle.load(str(tmp_path))
+    served = bundle.variables["params"]["embeddings"]["fused"]["table"]
+    assert served.shape[0] * 2 == fat.shape[0]
+    np.testing.assert_array_equal(
+        np.asarray(served), np.asarray(split_stacked_planes(fat, 2)[0]))
+    np.testing.assert_allclose(
+        bundle.predict(x), tr.predict(x, batch_size=64), atol=1e-6
+    )
