@@ -58,6 +58,10 @@ def run(arm: str):
     from mmlrec_tpu.train import Trainer
 
     cfg = aliexpress_like_config("mmoe")
+    if os.environ.get("SCAN_STEPS"):
+        cfg.model_config.extra["scan_steps"] = (
+            True if os.environ["SCAN_STEPS"] == "all"
+            else int(os.environ["SCAN_STEPS"]))
     cfg.data_config.mask_column = "scene"
     cfg.data_config.mask_values = [0, 1]
     if arm == "fit_eval":

@@ -457,6 +457,10 @@ def make_device_plan(trainer, ids, dense, y, dmask, batch_size, shuffle,
             block_w = np.ones((steps_per_epoch, batch_size), np.float32)
             if pad_tail:
                 block_w[-1, batch_size - pad_tail :] = 0.0
+            # staged ONCE per fit; per-epoch reorder is an on-device take
+            # (run_block_epoch) — the old per-epoch re-upload was 16 MB at
+            # the 4M-row flagship shape (round-5 e2e audit)
+            trainer._block_w_dev = to_mesh(trainer, block_w)
             if trainer.two_phase_embedding:
                 # batch composition is FIXED in block mode, so per-batch
                 # duplicate metadata is computed once per fit
@@ -624,10 +628,14 @@ def run_block_epoch(trainer, state, staged, step_dev, block_w, block_dedup,
     pre-shuffled once), only the batch order reshuffles; the staged
     metadata stacks reorder ON DEVICE with one [steps]-index take."""
     starts_dev = to_mesh(trainer, (batch_order * batch_size).astype(np.int32))
-    w2d_dev = to_mesh(trainer, block_w[batch_order])
+    order_dev = to_mesh(trainer, batch_order.astype(np.int32))
+    # block_w is CONSTANT per fit — stage it once and reorder ON DEVICE
+    # per epoch (round-5 flagship e2e audit: the per-epoch [steps, bs]
+    # f32 re-upload was 16 MB/epoch through the relay at the 4M-row
+    # flagship shape; same pattern as the metadata stacks below)
+    w2d_dev = jnp.take(trainer._block_w_dev, order_dev, axis=0)
     dedup_dev = None
     if block_dedup is not None:
-        order_dev = to_mesh(trainer, batch_order.astype(np.int32))
         dedup_dev = tuple(
             jnp.take(a, order_dev, axis=0) for a in block_dedup
         )
@@ -656,7 +664,17 @@ def run_gather_epoch(trainer, state, staged, step_dev, prep, batch_size,
         trainer,
         idx_full.reshape(steps_this_epoch, batch_size).astype(np.int32),
     )
-    w2d_dev = to_mesh(trainer, w_full.reshape(steps_this_epoch, batch_size))
+    if trainer.mesh is None:
+        # the weight matrix is 1.0 below ``take`` and 0.0 at the padded
+        # tail — build it ON DEVICE from the scalar instead of uploading
+        # [steps, bs] f32 every epoch (16 MB at the 4M-row flagship
+        # shape; round-5 e2e audit).  Bitwise-identical values.
+        k = jnp.arange(steps_this_epoch * batch_size, dtype=jnp.int32)
+        w2d_dev = (k < take).astype(jnp.float32).reshape(
+            steps_this_epoch, batch_size)
+    else:
+        w2d_dev = to_mesh(
+            trainer, w_full.reshape(steps_this_epoch, batch_size))
     state, loss_refs, prob_refs = drive_steps(
         trainer, "gather", state, staged, idx2d_dev, w2d_dev, meta_np,
         batch_size, steps_this_epoch, step_dev,
