@@ -45,19 +45,26 @@ from .pcgrad import pcgrad_merge
 
 def stacked_auto_conditions(cfg, layout, mesh, batch_size) -> bool:
     """True iff the auto pallas+stacked conditions hold at ``batch_size``:
-    two_phase + pallas-eligible 128-lane rows + packed bf16 moments + no
-    mesh + real TPU + the unique-metadata headroom (phys rows > Kp).  The
-    SINGLE predicate behind both resolve_table_container (config time) and
-    the Trainer's fit-time demotion, so the two cannot drift (ADVICE r3).
+    two_phase + pallas-eligible 128-lane rows + packed bf16 moments +
+    (no mesh, OR an explicit-collective mesh whose 'model' axis divides
+    the physical rows — round 5 shard-major layout) + real TPU + the
+    unique-metadata headroom (phys rows > Kp).  The SINGLE predicate
+    behind both resolve_table_container (config time) and the Trainer's
+    fit-time demotion, so the two cannot drift (ADVICE r3).
     """
     mc = cfg.model_config
     if not (
         mc.extra.get("two_phase_embedding")
         and str(mc.extra.get("table_update", "auto")) in ("auto", "pallas")
         and str(mc.extra.get("table_opt_dtype") or "") == "bfloat16"
-        and mesh is None
-        and not mc.extra.get("explicit_collective_embedding")
     ):
+        return False
+    if mesh is not None and not (
+        mc.extra.get("explicit_collective_embedding")
+        and "model" in getattr(mesh, "shape", {})
+    ):
+        return False
+    if mesh is None and mc.extra.get("explicit_collective_embedding"):
         return False
     from ..ops.embedding import fused_table_geometry
 
@@ -67,10 +74,16 @@ def stacked_auto_conditions(cfg, layout, mesh, batch_size) -> bool:
     dim, P, phys_rows = geo
     if dim * P != 128:
         return False
+    if mesh is not None and phys_rows % mesh.shape["model"] != 0:
+        return False
     K = batch_size * len(layout.sparse_slots)
     if phys_rows <= -(-K // 256) * 256:
         return False
-    return jax.devices()[0].platform != "cpu"
+    exec_platform = (
+        mesh.devices.flat[0].platform if mesh is not None
+        else jax.devices()[0].platform
+    )
+    return exec_platform != "cpu"
 
 
 def resolve_table_container(cfg, layout, mesh=None) -> None:
@@ -111,6 +124,10 @@ def resolve_table_container(cfg, layout, mesh=None) -> None:
         # marker letting the Trainer distinguish the auto opt-in from an
         # explicit user choice (only the former may demote at fit time)
         mc.extra["_table_container_auto"] = True
+        if mesh is not None:
+            # shard-major mesh layout (round 5): the model must be built
+            # with the mesh's 'model' size baked in
+            mc.extra["stacked_shards"] = int(mesh.shape["model"])
 
 
 def get_mask(domain_values, mask_values, num_domains) -> np.ndarray:

@@ -260,3 +260,50 @@ def test_mesh_stacked_validation():
     layout2, *_ = make_data(cfg2, n=128, seed=0, vocab=80)
     with pytest.raises(ValueError):
         Trainer(get_model("sharedbottom", layout2, cfg2), seed=0, mesh=mesh)
+
+
+def test_resolve_table_container_mesh_auto(monkeypatch):
+    """stacked_auto_conditions (round 5): the auto opt-in extends to an
+    explicit-collective mesh — stacked_shards resolves from the 'model'
+    axis; GSPMD meshes and indivisible row counts stay split."""
+    from mmlrec_tpu.train.trainer import resolve_table_container
+    import mmlrec_tpu.train.trainer as trainer_mod
+
+    class _Dev:
+        platform = "tpu"
+
+    class _FakeMesh:
+        def __init__(self, model):
+            self.shape = {"data": 8 // model, "model": model}
+            self.devices = np.full((8 // model, model), _Dev())
+
+    def make(explicit, vocab=1 << 16):
+        cfg = make_config(
+            task_name="mtl", model_name="sharedbottom", n_sparse=4,
+            n_dense=2, vocab=vocab, hidden=(16, 8), tower=(8,), gate=(8,),
+            batch_size=64, two_phase_embedding=True,
+            table_opt_dtype="bfloat16",
+            **({"explicit_collective_embedding": True} if explicit else {}),
+        )
+        layout, *_ = make_data(cfg, n=64, seed=0, vocab=vocab)
+        return cfg, layout
+
+    # pretend we're on a TPU for the single-device branch of the predicate
+    monkeypatch.setattr(
+        trainer_mod.jax, "devices", lambda *a: [_Dev()], raising=False)
+
+    cfg, layout = make(explicit=True)
+    resolve_table_container(cfg, layout, mesh=_FakeMesh(2))
+    assert cfg.model_config.extra.get("table_container") == "stacked"
+    assert cfg.model_config.extra.get("stacked_shards") == 2
+
+    # GSPMD mesh (no explicit collectives): stays split
+    cfg2, layout2 = make(explicit=False)
+    resolve_table_container(cfg2, layout2, mesh=_FakeMesh(2))
+    assert cfg2.model_config.extra.get("table_container") is None
+
+    # explicit flag without a mesh: predicate stays off (the explicit
+    # path requires a mesh; single-chip auto is the mesh=None branch)
+    cfg3, layout3 = make(explicit=True)
+    resolve_table_container(cfg3, layout3, mesh=None)
+    assert cfg3.model_config.extra.get("table_container") is None
