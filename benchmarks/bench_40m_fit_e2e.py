@@ -9,11 +9,14 @@ device step, so fits were host-bound; the native single-pass kernel
 (native/step_metadata.cpp) is 1.6-2.0 ms/batch and hides behind the
 device epoch.
 
-Usage: python benchmarks/bench_40m_fit_e2e.py [native|numpy|block|nocompact ...]
+Usage: python benchmarks/bench_40m_fit_e2e.py [native|numpy|block|nocompact|devicemeta ...]
 ("block" = native metadata + shuffle='block': fixed batch composition,
 metadata staged ONCE and reordered on device per epoch; "nocompact" =
 the full-shuffle native arm with the round-5 uint16/uint8 metadata
-upload compaction DISABLED — the A/B for the ~3x byte cut)
+upload compaction DISABLED — the A/B for the ~3x byte cut; "devicemeta"
+= full shuffle with the round-5 IN-STEP metadata (device_step_metadata:
+one lax.sort per batch, zero metadata uploads — trades the route win
+for upload-free epochs)
 Env: ROWS (default 1_000_000), EPOCHS (default 4), VOCAB_PER_FEATURE.
 Prints one JSON line per arm; steady-state ex/s excludes epoch 1
 (compile + first staging).
@@ -55,6 +58,8 @@ def run(arm: str):
             table_opt_dtype="bfloat16", table_update="pallas",
             table_container="stacked",
             meta_compact=(arm != "nocompact"),
+            **({"device_metadata": True, "dedup_route": "scatter"}
+               if arm == "devicemeta" else {}),
         )
         cols = [SparseFeat(f"s{i}", VOCAB, EMB_DIM)
                 for i in range(N_SPARSE)] + [

@@ -512,6 +512,71 @@ def batch_step_metadata(
     return inv, rep
 
 
+def device_step_metadata(
+    flat_ids: jnp.ndarray,  # [K] int32 logical fused-table row ids
+    pack_factor: int,
+    Kp: int,
+    n_phys_rows: int,
+):
+    """ON-DEVICE per-batch dedup metadata (round 5): the device analogue of
+    ``batch_step_metadata``'s (inv, rep, pids, pinv, nuniq, prep), computed
+    inside the step program from one stable two-operand ``lax.sort``.
+
+    Why: the full-shuffle fit uploads ~125 MB/epoch of host metadata
+    (compacted) through a relay that SERIALIZES transfers against
+    dispatches — epochs alternate device-bound and upload-stalled
+    (docs/perf_notes.md round-5 40M traces).  Computing the metadata on
+    device trades that for ~one 65k-row sort + a few segment ops per
+    step, entirely inside the scanned dispatch.
+
+    Differences from the host form (both deliberate):
+    * pids' tail pads are ``n_phys_rows`` (one past the last row) instead
+      of distinct untouched rows — valid ONLY for consumers that never
+      touch pad slots: the write kernels' per-row bounds predicates and
+      XLA scatters in drop mode.  The legacy ``unique_indices`` XLA
+      scatter fallback and the chunk-granular RMW kernel are NOT safe
+      with these pads (duplicate out-of-range indices), so the trainer
+      restricts device metadata to the pallas write path / plain scatter.
+    * the gather-route dedup lists (accperm/resid/gdup) are not built —
+      their ragged compaction has data-dependent shapes; device metadata
+      pairs with ``dedup_route="scatter"``.
+
+    inv/rep/pinv/prep/nuniq are BITWISE identical to the host values (the
+    stable sort orders equal keys identically), so training results are
+    bitwise equal to the host-metadata path wherever pads are unused
+    (pinned by tests/test_device_metadata.py).
+    """
+    K = flat_ids.shape[0]
+    P = pack_factor
+    k = jnp.arange(K, dtype=jnp.int32)
+    svals, order = jax.lax.sort(
+        (flat_ids.astype(jnp.int32), k), num_keys=1, is_stable=True
+    )
+    newv = jnp.concatenate(
+        [jnp.ones((1,), bool), svals[1:] != svals[:-1]])
+    # original index of each run's FIRST element, spread over the run
+    start_pos = jax.lax.cummax(jnp.where(newv, k, 0))
+    fs_sorted = jnp.take(order, start_pos)
+    inv = jnp.zeros((K,), jnp.int32).at[order].set(fs_sorted)
+    rep = jnp.zeros((K,), jnp.float32).at[order].set(
+        newv.astype(jnp.float32))
+    psvals = svals // P if P > 1 else svals
+    pnew = (
+        jnp.concatenate([jnp.ones((1,), bool), psvals[1:] != psvals[:-1]])
+        if P > 1 else newv
+    )
+    pgrp = jnp.cumsum(pnew.astype(jnp.int32)) - 1
+    pinv = jnp.zeros((K,), jnp.int32).at[order].set(pgrp)
+    prep = jnp.zeros((K,), jnp.float32).at[order].set(
+        pnew.astype(jnp.float32))
+    nuniq = jnp.sum(pnew.astype(jnp.int32)).reshape(1)
+    # unique physical rows at their slots; tail pads = n_phys_rows (write
+    # kernels' bounds predicates skip slots >= nuniq; gathers clip)
+    pids = jnp.full((Kp,), n_phys_rows, jnp.int32).at[pgrp].set(
+        psvals.astype(jnp.int32), mode="drop")
+    return inv, rep, pids, pinv, nuniq, prep
+
+
 def batch_phys_metadata(
     flat_ids: np.ndarray,
     pack_factor: int,

@@ -461,7 +461,8 @@ def make_device_plan(trainer, ids, dense, y, dmask, batch_size, shuffle,
             # (run_block_epoch) — the old per-epoch re-upload was 16 MB at
             # the 4M-row flagship shape (round-5 e2e audit)
             trainer._block_w_dev = to_mesh(trainer, block_w)
-            if trainer.two_phase_embedding:
+            if trainer.two_phase_embedding and not getattr(
+                    trainer, "device_metadata", False):
                 # batch composition is FIXED in block mode, so per-batch
                 # duplicate metadata is computed once per fit
                 ids_p = rep(ids) if pad_tail else ids
@@ -716,7 +717,8 @@ def run_streaming_epoch(trainer, state, train_step, order, ids, dense, y,
             from ..parallel.mesh import shard_batch
 
             batch = shard_batch(batch, trainer.mesh)
-        if trainer.two_phase_embedding:
+        if trainer.two_phase_embedding and not getattr(
+                trainer, "device_metadata", False):
             offs = np.asarray(trainer._fused_offsets)[None, :]
             flat = (ids[idx].astype(np.int64) + offs).reshape(1, -1)
             meta = step_metadata(trainer, flat)
@@ -764,7 +766,8 @@ def fs_host_prep(trainer, ids, n, batch_size, order_e, steps_e):
     w_e = np.zeros(padded_e, np.float32)
     w_e[:take_e] = 1.0
     meta_e = None
-    if trainer.two_phase_embedding:
+    if trainer.two_phase_embedding and not getattr(
+            trainer, "device_metadata", False):
         offs = np.asarray(trainer._fused_offsets)[None, None, :]
         ids_e = ids[idx_e.reshape(steps_e, batch_size)]
         flat = (ids_e.astype(np.int64) + offs).reshape(steps_e, -1)

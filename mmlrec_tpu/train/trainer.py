@@ -453,6 +453,42 @@ class Trainer:
                 raise ValueError(
                     "update_space='slot' requires dedup_route='gather' "
                     "(the slot route rides the accperm/resid metadata)")
+        # device_metadata (round 5): compute the per-batch dedup metadata
+        # ON DEVICE inside the step (one stable lax.sort + segment ops,
+        # train/sparse_embedding.py device_step_metadata) instead of
+        # host-precomputing + uploading it.  The full-shuffle host stacks
+        # serialize against dispatches on this relay (perf_notes round-5
+        # 40M traces); the in-step sort rides the scanned dispatch.
+        self.device_metadata = bool(mc.extra.get("device_metadata"))
+        if self.device_metadata:
+            if not self.two_phase_embedding:
+                raise ValueError("device_metadata requires two_phase_embedding")
+            if self.mesh is not None:
+                raise ValueError(
+                    "device_metadata is single-device (the mesh paths slice "
+                    "host metadata globally)"
+                )
+            if self.table_update == "unique":
+                raise ValueError(
+                    "device_metadata is incompatible with table_update="
+                    "'unique' (its XLA unique-indices scatter needs the "
+                    "host path's distinct pad rows)"
+                )
+            if mc.extra.get("dedup_route") == "gather":
+                raise ValueError(
+                    "device_metadata has no gather-route lists; drop "
+                    "dedup_route='gather' (the in-step scatter is used)"
+                )
+            if mc.extra.get("update_space") == "slot":
+                raise ValueError(
+                    "device_metadata supports update_space='position' only "
+                    "(slot space rides the route metadata)"
+                )
+            # auto-resolved route/space fall back to the scatter/position
+            # forms the device metadata supports
+            self.dedup_route = "scatter"
+            self.update_space = "position"
+            self._emb_phys_rows = self._emb_phys_rows_static()
         if self.two_phase_embedding and (
             self.is_pcgrad
             or mc.extra.get("use_gradnorm")
@@ -773,11 +809,30 @@ class Trainer:
             state["rng"],
         )
         rng, step_rng = jax.random.split(rng)
-        ids, dense, y, dmask, weight, inv, rep = batch[:7]
+        ids, dense, y, dmask, weight = batch[:5]
         B, F = ids.shape
         rest, table = self._without_table(params)
         flat_ids = (ids + self._fused_offsets[None, :]).reshape(-1)
         P = self._emb_pack_factor
+        if getattr(self, "device_metadata", False):
+            # round 5: dedup metadata computed ON DEVICE inside the step
+            # (train/sparse_embedding.py device_step_metadata) — the
+            # full-shuffle host stacks (~125 MB/epoch compacted) serialize
+            # against dispatches on this relay; the in-step sort does not.
+            # Pairs with dedup_route='scatter' (no route lists) and
+            # position space; pid pads = n_phys_rows (bounds-skipped).
+            from .sparse_embedding import device_step_metadata
+
+            K = B * F
+            Kp_n = -(-K // 256) * 256
+            inv, rep, d_pids, d_pinv, d_nuniq, d_prep = device_step_metadata(
+                flat_ids.astype(jnp.int32), P, Kp_n, self._emb_phys_rows
+            )
+            batch = batch[:5] + (inv, rep)
+            if self.table_update != "scatter":
+                batch = batch + (d_pids, d_pinv, d_nuniq, d_prep)
+        else:
+            inv, rep = batch[5], batch[6]
         # keep the phase-1 SUPER rows in hand: the write-only pallas update
         # reuses them as the old-row values (same take XLA would CSE, made
         # explicit), and the logical rows derive from them exactly as in

@@ -1,0 +1,89 @@
+"""On-device per-batch dedup metadata (round 5,
+train/sparse_embedding.py::device_step_metadata): value parity with the
+host batch_step_metadata and bitwise fit equality against the
+host-metadata path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmlrec_tpu.models import get_model
+from mmlrec_tpu.synthetic import make_config, make_data
+from mmlrec_tpu.train import Trainer
+from mmlrec_tpu.train.sparse_embedding import (
+    batch_step_metadata,
+    device_step_metadata,
+)
+
+
+@pytest.mark.parametrize("pack_factor,dups", [(1, True), (4, True), (4, False)])
+def test_device_step_metadata_matches_host(pack_factor, dups):
+    rng = np.random.RandomState(0)
+    K, V = 96, 400  # logical ids; phys rows V // P
+    n_phys = V // pack_factor
+    hi = 40 if dups else V  # heavy duplication vs near-unique
+    flat = rng.randint(0, hi, (1, K)).astype(np.int64)
+    inv, rep, pids, pinv, nuniq, prep = batch_step_metadata(
+        flat, pack_factor, n_phys, chunk=16)
+    d = device_step_metadata(
+        jnp.asarray(flat[0], jnp.int32), pack_factor, pids.shape[1], n_phys)
+    d_inv, d_rep, d_pids, d_pinv, d_nuniq, d_prep = [np.asarray(a) for a in d]
+    np.testing.assert_array_equal(d_inv, inv[0])
+    np.testing.assert_array_equal(d_rep, rep[0])
+    np.testing.assert_array_equal(d_pinv, pinv[0])
+    np.testing.assert_array_equal(d_prep, prep[0])
+    assert int(d_nuniq[0]) == int(nuniq[0, 0])
+    n = int(nuniq[0, 0])
+    # real prefix identical; device pads are n_phys (bounds-skipped), host
+    # pads are distinct untouched rows (legacy XLA-unique-scatter contract)
+    np.testing.assert_array_equal(d_pids[:n], pids[0, :n])
+    assert (d_pids[n:] == n_phys).all()
+
+
+def _fit_pair(extra, fit_kw, vocab=80, n=320):
+    outs = {}
+    for name, dev in (("device", True), ("host", False)):
+        cfg = make_config(
+            task_name="mtl", model_name="sharedbottom", n_sparse=4,
+            n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,),
+            batch_size=64, lr=3e-3, vocab=vocab, two_phase_embedding=True,
+            device_metadata=dev, **extra,
+        )
+        layout, x, y, _ = make_data(cfg, n=n, seed=0, vocab=vocab)
+        tr = Trainer(get_model("sharedbottom", layout, cfg), seed=0).compile()
+        tr.fit(x, y, verbose=0, **fit_kw)
+        outs[name] = np.asarray(
+            tr.variables["params"]["embeddings"]["fused"]["table"])
+    np.testing.assert_array_equal(outs["device"], outs["host"])
+
+
+def test_fit_device_metadata_bitwise_scatter_update():
+    """Plain two-phase scatter update: (inv, rep) computed in-step give a
+    bitwise-identical fit to the host metadata path (full shuffle)."""
+    _fit_pair({}, dict(batch_size=64, epochs=2, shuffle=True))
+
+
+def test_fit_device_metadata_bitwise_pallas_stacked():
+    """Stacked container + pallas dual write, scatter dedup route: the
+    in-step metadata (pid pads = n_phys, bounds-skipped) is bitwise equal
+    to the host path for both block and full-shuffle fits."""
+    extra = dict(table_update="pallas", table_opt_dtype="bfloat16",
+                 table_container="stacked", dedup_route="scatter")
+    _fit_pair(extra, dict(batch_size=64, epochs=2, shuffle=True))
+    _fit_pair(extra, dict(batch_size=64, epochs=2, shuffle="block"))
+
+
+def test_device_metadata_validation():
+    kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+              n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,),
+              batch_size=64, vocab=80)
+    cfg = make_config(**kw, device_metadata=True)
+    layout, *_ = make_data(cfg, n=64, seed=0, vocab=80)
+    with pytest.raises(ValueError, match="two_phase"):
+        Trainer(get_model("sharedbottom", layout, cfg), seed=0)
+    cfg = make_config(**kw, device_metadata=True, two_phase_embedding=True,
+                      dedup_route="gather", table_update="pallas",
+                      table_opt_dtype="bfloat16")
+    layout, *_ = make_data(cfg, n=64, seed=0, vocab=80)
+    with pytest.raises(ValueError, match="gather"):
+        Trainer(get_model("sharedbottom", layout, cfg), seed=0)
