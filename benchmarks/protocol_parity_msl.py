@@ -306,6 +306,11 @@ def run_ours(config, seed, intended: bool):
             if os.environ.get("GATE_ALPHA"):
                 cfg_dict["model_config"]["snr_gate_alpha"] = (
                     os.environ["GATE_ALPHA"])
+            # GATE_WARMUP=E: round-5 deterministic-gate warmup epochs
+            if os.environ.get("GATE_WARMUP"):
+                cfg_dict["model_config"][
+                    "snr_gate_noise_warmup_epochs"] = int(
+                        os.environ["GATE_WARMUP"])
         cfg_dict["model_config"]["domain_bn_mode"] = "intended"
     cfg = ExperimentConfig.from_dict(cfg_dict)
     ds = ctrdataset(cfg)
