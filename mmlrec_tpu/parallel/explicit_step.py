@@ -75,6 +75,11 @@ def make_explicit_two_phase_step(trainer):
     offsets = trainer._fused_offsets
 
     use_pallas = trainer.table_update == "pallas"
+    # round 5: in-step dedup metadata (train/sparse_embedding.py
+    # device_step_metadata) — computed REPLICATED from the all-gathered
+    # global id list, so mesh fits carry zero metadata uploads.  Pairs
+    # with dedup_route='scatter'/position space (trainer validation).
+    device_meta = getattr(trainer, "device_metadata", False)
     # round 5: the stacked table+moment container on the mesh — the fat
     # param's shard-major [2r, W] slices keep each owned row's pair local
     # (sharded_two_phase_sparse_adam_folded); the forward fetch gathers
@@ -104,6 +109,21 @@ def make_explicit_two_phase_step(trainer):
         fwd_table = table[: table.shape[0] // 2] if folded else table
         rows = owned_gather(fwd_table, flat_local, dim, pack_factor)  # psum 'model'
         rng, step_rng = jax.random.split(rng)
+        if device_meta:
+            # in-step metadata from the GLOBAL id list (every shard
+            # computes the identical replicated values); the tiled
+            # all-gather reassembles the global batch order so the
+            # single-chip semantics carry over verbatim
+            from ..train.sparse_embedding import device_step_metadata
+
+            k_glob_ = k_loc * n_data
+            flat_glob = jax.lax.all_gather(flat_local, "data", tiled=True)
+            Kp_n = -(-k_glob_ // 256) * 256
+            inv, rep, d_pids, d_pinv, d_nuniq, d_prep = device_step_metadata(
+                flat_glob.astype(jnp.int32), pack_factor, Kp_n,
+                trainer._emb_phys_rows,
+            )
+            meta = (d_pids, d_pinv, d_nuniq, d_prep) if use_pallas else ()
         # rep slice for this data shard: partitions the touched-rows L2 term
         rep_local = jax.lax.dynamic_slice_in_dim(rep, shard_i * k_loc, k_loc)
         inv_local = jax.lax.dynamic_slice_in_dim(inv, shard_i * k_loc, k_loc)
@@ -207,8 +227,16 @@ def make_explicit_two_phase_step(trainer):
     row_sharded = P("model", None)
 
     def step(state, batch):
-        ids, dense, y, dmask, weight, inv, rep = batch[:7]
-        meta = tuple(batch[7:])  # (pids, pinv, nuniq, prep[, route]) pallas
+        ids, dense, y, dmask, weight = batch[:5]
+        if device_meta:
+            # metadata computed in-body; replicated dummies keep the
+            # shard_map signature uniform
+            inv = jnp.zeros((1,), jnp.int32)
+            rep = jnp.zeros((1,), jnp.float32)
+            meta = ()
+        else:
+            inv, rep = batch[5], batch[6]
+            meta = tuple(batch[7:])  # (pids, pinv, nuniq, prep[, route])
         topt = state["table_opt"]
         if isinstance(topt, SparseAdamFoldedState):
             topt_spec = SparseAdamFoldedState(count=P())

@@ -463,11 +463,6 @@ class Trainer:
         if self.device_metadata:
             if not self.two_phase_embedding:
                 raise ValueError("device_metadata requires two_phase_embedding")
-            if self.mesh is not None:
-                raise ValueError(
-                    "device_metadata is single-device (the mesh paths slice "
-                    "host metadata globally)"
-                )
             if self.table_update == "unique":
                 raise ValueError(
                     "device_metadata is incompatible with table_update="

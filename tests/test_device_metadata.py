@@ -87,3 +87,37 @@ def test_device_metadata_validation():
     layout, *_ = make_data(cfg, n=64, seed=0, vocab=80)
     with pytest.raises(ValueError, match="gather"):
         Trainer(get_model("sharedbottom", layout, cfg), seed=0)
+
+
+@pytest.mark.skipif(
+    __import__("jax").device_count() < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("explicit", [False, True])
+def test_fit_device_metadata_mesh_matches_host(explicit):
+    """Round 5: device_metadata on a mesh — GSPMD partitions the in-step
+    sort; the explicit body computes replicated metadata from the
+    all-gathered global id list.  Fits match the host-metadata mesh path
+    (same program modulo metadata source; ulp-level fusion noise)."""
+    from mmlrec_tpu.parallel import create_mesh
+
+    outs = {}
+    for name, dev in (("device", True), ("host", False)):
+        extra = dict(two_phase_embedding=True, device_metadata=dev,
+                     dedup_route="scatter")
+        if explicit:
+            extra.update(explicit_collective_embedding=True,
+                         table_update="pallas", table_opt_dtype="bfloat16")
+        cfg = make_config(
+            task_name="mtl", model_name="sharedbottom", n_sparse=4,
+            n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,),
+            batch_size=64, lr=3e-3, vocab=400, **extra,
+        )
+        layout, x, y, _ = make_data(cfg, n=256, seed=0, vocab=400)
+        tr = Trainer(get_model("sharedbottom", layout, cfg), seed=0,
+                     mesh=create_mesh(data=4, model=2)).compile()
+        tr.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False)
+        import jax
+
+        outs[name] = np.asarray(jax.device_get(
+            tr.variables["params"]["embeddings"]["fused"]["table"]))
+    np.testing.assert_allclose(outs["device"], outs["host"],
+                               rtol=1e-5, atol=1e-7)
