@@ -17,7 +17,9 @@ upload compaction DISABLED — the A/B for the ~3x byte cut; "devicemeta"
 = full shuffle with the round-5 IN-STEP metadata (device_step_metadata:
 one lax.sort per batch, zero metadata uploads — trades the route win
 for upload-free epochs)
-Env: ROWS (default 1_000_000), EPOCHS (default 4), VOCAB_PER_FEATURE.
+Env: ROWS (default 1_000_000), EPOCHS (default 4), VOCAB_PER_FEATURE,
+IDS_DIST=zipf (zipf-1.1 ids — the realistic CTR distribution; default
+uniform).
 Prints one JSON line per arm; steady-state ex/s excludes epoch 1
 (compile + first staging).
 """
@@ -68,7 +70,10 @@ def run(arm: str):
         tr = Trainer(model, seed=0).compile(metrics=[])
 
         rng = np.random.default_rng(0)
-        ids = rng.integers(0, VOCAB, (ROWS, N_SPARSE)).astype(np.int32)
+        if os.environ.get("IDS_DIST") == "zipf":
+            ids = (rng.zipf(1.1, (ROWS, N_SPARSE)) % VOCAB).astype(np.int32)
+        else:
+            ids = rng.integers(0, VOCAB, (ROWS, N_SPARSE)).astype(np.int32)
         dense = rng.random((ROWS, 4)).astype(np.float32)
         y = rng.integers(0, 2, (ROWS, 2)).astype(np.float32)
         x = {f"s{i}": ids[:, i] for i in range(N_SPARSE)} | {
