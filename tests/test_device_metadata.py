@@ -121,3 +121,46 @@ def test_fit_device_metadata_mesh_matches_host(explicit):
             tr.variables["params"]["embeddings"]["fused"]["table"]))
     np.testing.assert_allclose(outs["device"], outs["host"],
                                rtol=1e-5, atol=1e-7)
+
+
+def test_device_metadata_checkpoint_resume(tmp_path):
+    """A device_metadata + stacked run checkpoints (portable split
+    layout) and resumes with continued training identical to an
+    uninterrupted run — and a HOST-metadata trainer restores the same
+    checkpoint to the same result (the metadata source is not part of
+    the state)."""
+    kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+              n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,), epochs=2,
+              batch_size=64, lr=3e-3, two_phase_embedding=True, vocab=400,
+              table_update="pallas", table_opt_dtype="bfloat16",
+              table_container="stacked", dedup_route="scatter")
+
+    def make(dev):
+        cfg = make_config(**kw, device_metadata=dev)
+        layout, x, y, _ = make_data(cfg, n=256, seed=0, vocab=400)
+        return Trainer(
+            get_model("sharedbottom", layout, cfg), seed=0).compile(), x, y
+
+    tr_full, x, y = make(True)
+    tr_full.fit(x, y, batch_size=64, epochs=2, shuffle=False, verbose=0)
+    full = np.asarray(
+        tr_full.variables["params"]["embeddings"]["fused"]["table"])
+
+    tr1, x1, y1 = make(True)
+    tr1.fit(x1, y1, batch_size=64, epochs=1, shuffle=False, verbose=0)
+    path = tr1.save_training_state(str(tmp_path))
+    tr2, x2, y2 = make(True)
+    tr2.fit(x2, y2, batch_size=64, epochs=2, shuffle=False, verbose=0,
+            resume_from=path)
+    np.testing.assert_array_equal(
+        np.asarray(tr2.variables["params"]["embeddings"]["fused"]["table"]),
+        full)
+
+    # cross-source restore: host-metadata trainer continues from the
+    # device-metadata checkpoint to the identical result
+    tr3, x3, y3 = make(False)
+    tr3.fit(x3, y3, batch_size=64, epochs=2, shuffle=False, verbose=0,
+            resume_from=path)
+    np.testing.assert_array_equal(
+        np.asarray(tr3.variables["params"]["embeddings"]["fused"]["table"]),
+        full)
