@@ -164,3 +164,26 @@ def test_device_metadata_checkpoint_resume(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(tr3.variables["params"]["embeddings"]["fused"]["table"]),
         full)
+
+
+def test_fit_device_metadata_bitwise_lane_packed():
+    """device_metadata with a LANE-PACKED table (pack_factor > 1: the
+    production layout) — in-step metadata fits match the host path
+    bitwise (vocab 4 x 2^16 -> 2^18 fused rows, P = 16 at dim 8)."""
+    vocab = 1 << 16
+    kw = dict(task_name="mtl", model_name="sharedbottom", n_sparse=4,
+              n_dense=2, hidden=(16, 8), tower=(8,), gate=(8,),
+              batch_size=64, lr=3e-3, vocab=vocab,
+              two_phase_embedding=True, table_update="pallas",
+              table_opt_dtype="bfloat16", table_container="stacked",
+              dedup_route="scatter")
+    outs = {}
+    for name, dev in (("device", True), ("host", False)):
+        cfg = make_config(**kw, device_metadata=dev)
+        layout, x, y, _ = make_data(cfg, n=256, seed=0, vocab=vocab)
+        tr = Trainer(get_model("sharedbottom", layout, cfg), seed=0).compile()
+        tr.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=True)
+        assert tr._emb_pack_factor > 1  # the packed layout really engaged
+        outs[name] = np.asarray(
+            tr.variables["params"]["embeddings"]["fused"]["table"])
+    np.testing.assert_array_equal(outs["device"], outs["host"])
